@@ -1,0 +1,170 @@
+"""Reference-shaped object API: Writer / Reader / Tester.
+
+Thin host-side wrappers over the functional jitted pipelines in
+:mod:`.models.pipeline`, provided so a user of the reference crate's API
+(``wm::Writer``/``wm::Reader``/``wm::Tester``, reference: src/lib.rs:81-85,
+src/algorithm.rs:286-715) finds the same surface. New code should prefer the
+batched functional API (:func:`embed`, :func:`extract`, :func:`similarity`)
+which these wrappers call.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .config import ReadConfig, WriteConfig
+from .marks import as_marks
+from .models import pipeline
+from .ops import colorspace, dct, ranking
+
+
+def _as_rgb_array(image) -> np.ndarray:
+    """Accept a PIL image or array; return (H, W, 3) uint8 or float32."""
+    if hasattr(image, "convert"):  # PIL
+        image = np.asarray(image.convert("RGB"))
+    arr = np.asarray(image)
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB image, got {arr.shape}")
+    return arr
+
+
+class Writer:
+    """Embeds watermarks into one image (reference: src/algorithm.rs:286-433).
+
+    Unlike the reference's eager in-place object, the DCT/ranking/embedding
+    all happen inside one jitted program at :meth:`mark` time; the
+    :meth:`coefficients`/:meth:`indices` accessors run the forward transform
+    on demand for inspection parity (``Writer::coefficient_image``,
+    src/algorithm.rs:319-321).
+    """
+
+    def __init__(self, image, config: WriteConfig = WriteConfig()):
+        self._rgb = _as_rgb_array(image)
+        self._config = config
+        self._coeffs: Optional[np.ndarray] = None
+
+    def coefficients(self) -> np.ndarray:
+        """Y-channel DCT coefficients, shape (H, W)."""
+        if self._coeffs is None:
+            f32 = colorspace.np_u8_to_f32(self._rgb) if self._rgb.dtype == np.uint8 \
+                else self._rgb.astype(np.float32)
+            import jax.numpy as jnp
+            yiq = colorspace.rgb_to_yiq(jnp.asarray(f32))
+            self._coeffs = np.asarray(
+                dct.dct2_2d(yiq[..., 0], precision=self._config.precision))
+        return self._coeffs
+
+    def indices(self, n: int) -> np.ndarray:
+        """Rank-ordered flat indices of the N strongest coefficients."""
+        import jax.numpy as jnp
+        return np.asarray(ranking.top_indices(
+            jnp.asarray(self.coefficients()), n, self._config.ordering))
+
+    def mark(self, marks, quantize: bool = True) -> np.ndarray:
+        """Embed mark(s) and return the watermarked image.
+
+        ``marks``: array-like (N,) or (M, N). Returns (H, W, 3) uint8 if
+        ``quantize`` (the reference CLI's ``into_rgb8`` path) else float32.
+        """
+        m = as_marks(marks)
+        out = pipeline.embed(self._rgb, m, self._config, quantize=quantize)
+        return np.asarray(out)
+
+
+class ReaderDerived:
+    """Derived-image reader: coefficients only (reference: src/algorithm.rs:448-456)."""
+
+    def __init__(self, image, config: ReadConfig = ReadConfig()):
+        self._rgb = _as_rgb_array(image)
+        self._config = config
+        self._flat: Optional[np.ndarray] = None
+
+    def coefficients(self) -> np.ndarray:
+        if self._flat is None:
+            self._flat = np.asarray(
+                pipeline.prepare_derived(self._rgb, self._config))
+        return self._flat
+
+
+class Reader:
+    """Base-image reader (reference: src/algorithm.rs:441-562)."""
+
+    def __init__(self, image, config: ReadConfig = ReadConfig()):
+        self._rgb = _as_rgb_array(image)
+        self._config = config
+        self._cache = {}  # n -> (flat_coeffs, indices)
+
+    @staticmethod
+    def base(image, config: ReadConfig = ReadConfig()) -> "Reader":
+        return Reader(image, config)
+
+    @staticmethod
+    def derived(image, config: ReadConfig = ReadConfig()) -> ReaderDerived:
+        return ReaderDerived(image, config)
+
+    def _prepared(self, n: int):
+        if n not in self._cache:
+            flat, idx = pipeline.prepare_base(self._rgb, n, self._config)
+            self._cache[n] = (flat, idx)
+        return self._cache[n]
+
+    def coefficients(self) -> np.ndarray:
+        h, w = self._rgb.shape[:2]
+        flat, _ = self._prepared(min(1, h * w - 1))
+        return np.asarray(flat)
+
+    def indices(self, n: int) -> np.ndarray:
+        _, idx = self._prepared(n)
+        return np.asarray(idx)
+
+    def extract(self, derived: ReaderDerived, n: int) -> np.ndarray:
+        """Extract a length-n watermark from a derived reader.
+
+        Raises ValueError on the reference's panic conditions
+        (src/algorithm.rs:550-555).
+        """
+        if derived._rgb.shape != self._rgb.shape:
+            raise ValueError(
+                "Derived coefficient length not equal to base coefficient length.")
+        h, w = self._rgb.shape[:2]
+        if n >= h * w:
+            raise ValueError(
+                "Desired extraction length exceeds available coefficients.")
+        flat, idx = self._prepared(n)
+        import jax.numpy as jnp
+        return np.asarray(pipeline.extract_prepared(
+            flat, idx, jnp.asarray(derived.coefficients()), self._config))
+
+
+class Similarity:
+    """Result wrapper (reference: src/algorithm.rs:668-680)."""
+
+    def __init__(self, similarity: float):
+        self.similarity = float(similarity)
+
+    def exceeds_sigma(self, n_sigma: float) -> bool:
+        return self.similarity > n_sigma
+
+    def __repr__(self):
+        return f"Similarity {{ similarity: {self.similarity} }}"
+
+
+class Tester:
+    """Similarity tester (reference: src/algorithm.rs:683-715)."""
+
+    def __init__(self, extracted_watermark):
+        self._extracted = np.asarray(extracted_watermark, dtype=np.float32)
+
+    def similarity(self, comparison_watermark) -> Similarity:
+        cand = np.asarray(comparison_watermark, dtype=np.float32)
+        if cand.shape != self._extracted.shape:
+            raise ValueError("extracted and comparison watermark lengths differ")
+        sim = pipeline.similarity(self._extracted[None], cand[None])
+        return Similarity(np.asarray(sim)[0, 0])
+
+    def similarities(self, candidates) -> np.ndarray:
+        """Batched sweep: test K candidate marks at once -> (K,) sims."""
+        cand = as_marks(candidates)
+        return np.asarray(pipeline.similarity(self._extracted[None], cand))[0]

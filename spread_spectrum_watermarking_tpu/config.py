@@ -1,0 +1,114 @@
+"""Configuration dataclasses for the watermarking pipelines.
+
+These mirror the behavioral contract of the reference implementation's config
+surface (reference: src/algorithm.rs:68-152 ``Insertion``/``Extraction``/
+``OrderingMethod``/``WriteConfig``/``ReadConfig``) but are hashable frozen
+dataclasses so they can be passed as static arguments to ``jax.jit`` and select
+jittable code paths instead of boxed closures.
+
+Defaults match the reference: Option2 insertion/extraction with alpha=0.1 and
+Energy ordering (reference: src/algorithm.rs:104-112, 132-140).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Optional
+
+
+class Method(str, enum.Enum):
+    """Patent step-42 modulation equations (reference: src/algorithm.rs:68-77).
+
+    - OPTION1: ``x' = x + alpha * w``       (alpha is absolute, not relative)
+    - OPTION2: ``x' = x * (1 + alpha * w)`` (the paper's/reference's default)
+    - OPTION3: ``x' = x * exp(alpha * w)``
+    """
+
+    OPTION1 = "option1"
+    OPTION2 = "option2"
+    OPTION3 = "option3"
+
+
+class Ordering(str, enum.Enum):
+    """Coefficient ranking metric (reference: src/algorithm.rs:143-152).
+
+    - ENERGY: descending by ``v**2`` (DC coefficient excluded).
+    - ENERGY_ORTHOGONAL: like ENERGY but each coefficient is first rescaled by
+      the scipy-ortho normalization factor for its (row, col) position
+      (reference: src/algorithm.rs:235-280).
+    - LEGACY: descending by the *raw, signed* ortho-rescaled value -- the
+      preserved 2013 bug (reference: src/algorithm.rs:223-232).
+    """
+
+    ENERGY = "energy"
+    ENERGY_ORTHOGONAL = "energy-orthogonal"
+    LEGACY = "legacy"
+
+
+class Precision(str, enum.Enum):
+    """Matmul precision for the DCT passes on the MXU.
+
+    DEFAULT   = single-pass bf16 (fastest, ~1e-3 relative error)
+    HIGH      = 3-pass bf16 (near-f32, the recommended throughput setting)
+    HIGHEST   = 6-pass bf16 (full f32 fidelity, used by parity tests)
+    """
+
+    DEFAULT = "default"
+    HIGH = "high"
+    HIGHEST = "highest"
+
+
+@dataclasses.dataclass(frozen=True)
+class InsertExtract:
+    """Method + strength pair, serialized into the watermark JSON store.
+
+    Mirrors the reference CLI's ``SerializableInsertExtract``
+    (reference: examples/main.rs:62-71): alpha defaults to 0.1, method to
+    Option2.
+    """
+
+    alpha: float = 0.1
+    method: Method = Method.OPTION2
+
+
+@dataclasses.dataclass(frozen=True)
+class WriteConfig:
+    """Embedding configuration (reference: src/algorithm.rs:99-112)."""
+
+    insertion: InsertExtract = InsertExtract()
+    ordering: Ordering = Ordering.ENERGY
+    precision: Precision = Precision.HIGHEST
+    # Optional custom insertion: callable (indices, original, mark) -> new
+    # values, traced into the jitted pipeline. Replaces the reference's
+    # ``Insertion::Custom`` boxed closure (src/algorithm.rs:76).
+    custom_insert: Optional[Callable] = None
+
+    def __hash__(self):
+        return hash((self.insertion, self.ordering, self.precision,
+                     id(self.custom_insert) if self.custom_insert else None))
+
+
+@dataclasses.dataclass(frozen=True)
+class ReadConfig:
+    """Extraction configuration (reference: src/algorithm.rs:127-140)."""
+
+    extraction: InsertExtract = InsertExtract()
+    ordering: Ordering = Ordering.ENERGY
+    precision: Precision = Precision.HIGHEST
+    # Optional custom extraction: callable (indices, base, derived) -> mark.
+    custom_extract: Optional[Callable] = None
+
+    def __hash__(self):
+        return hash((self.extraction, self.ordering, self.precision,
+                     id(self.custom_extract) if self.custom_extract else None))
+
+
+def jax_precision(p: Precision):
+    import jax
+
+    return {
+        Precision.DEFAULT: jax.lax.Precision.DEFAULT,
+        Precision.HIGH: jax.lax.Precision.HIGH,
+        Precision.HIGHEST: jax.lax.Precision.HIGHEST,
+    }[p]

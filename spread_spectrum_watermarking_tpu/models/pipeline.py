@@ -1,0 +1,196 @@
+"""End-to-end jitted watermarking pipelines (the framework's "models").
+
+Each public function is one pure, batched, jittable program over
+``(B, H, W, 3)`` image arrays -- the whole reference call stack between
+``into_rgb32f`` and ``into_rgb8`` (reference: src/algorithm.rs:295-379 Writer,
+:462-562 Reader, call stacks in SURVEY.md section 3) compiled as a single XLA
+computation: colorspace -> DCT -> rank -> modulate -> inverse DCT ->
+colorspace, with batching and sharding handled by JAX instead of
+one-image-at-a-time object state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ReadConfig, WriteConfig
+from ..ops import colorspace, dct, modulation, ranking
+
+
+def _to_f32(rgb: jax.Array) -> jax.Array:
+    if jnp.issubdtype(rgb.dtype, jnp.integer):
+        return colorspace.u8_to_f32(rgb)
+    return rgb.astype(jnp.float32)
+
+
+def _forward(rgb: jax.Array, precision) -> Tuple[jax.Array, jax.Array]:
+    """RGB (..., H, W, 3) -> (Y-channel DCT coefficients (..., H, W), IQ planes).
+
+    The shared prologue of Writer and Reader (reference:
+    src/algorithm.rs:308-313, 476-480).
+    """
+    yiq = colorspace.rgb_to_yiq(_to_f32(rgb))
+    coeffs = dct.dct2_2d(yiq[..., 0], precision=precision)
+    return coeffs, yiq[..., 1:]
+
+
+def _batched_gather(flat: jax.Array, idx: jax.Array) -> jax.Array:
+    return jnp.take_along_axis(flat, idx, axis=-1)
+
+
+def _batched_scatter(flat: jax.Array, idx: jax.Array, values: jax.Array) -> jax.Array:
+    # Top-k indices are distinct, so a plain scatter-set is well defined.
+    if flat.ndim == 1:
+        return flat.at[idx].set(values, mode="promise_in_bounds")
+    b = flat.shape[0]
+    rows = jnp.arange(b, dtype=idx.dtype)[:, None]
+    return flat.at[rows, idx].set(values, mode="promise_in_bounds")
+
+
+@functools.partial(jax.jit, static_argnames=("config", "quantize"))
+def embed(
+    rgb: jax.Array,
+    marks: jax.Array,
+    config: WriteConfig = WriteConfig(),
+    quantize: bool = True,
+) -> jax.Array:
+    """Embed watermark(s) into a batch of images.
+
+    Args:
+      rgb: ``(B, H, W, 3)`` or ``(H, W, 3)``, uint8 or float32 in [0, 1].
+      marks: ``(N,)`` single mark, ``(M, N)`` M marks shared across the batch,
+        or ``(B, M, N)`` per-image marks. Multi-mark embedding is
+        delta-additive (reference: src/algorithm.rs:382-410).
+      config: insertion method/alpha + ordering (reference WriteConfig,
+        src/algorithm.rs:99-112).
+      quantize: if True, return uint8 (the reference's ``into_rgb8`` path);
+        else float32 RGB.
+
+    Returns: watermarked images, same leading shape as ``rgb``.
+    """
+    single_image = rgb.ndim == 3
+    if single_image:
+        rgb = rgb[None]
+    if marks.ndim == 1:
+        marks = marks[None]
+    n = marks.shape[-1]
+
+    coeffs, iq = _forward(rgb, config.precision)
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    idx = ranking.top_indices(coeffs, n, config.ordering)
+
+    flat = coeffs.reshape(coeffs.shape[0], -1)
+    original = _batched_gather(flat, idx)
+    if marks.ndim == 2:  # (M, N) shared across batch -> (B, M, N)
+        marks = jnp.broadcast_to(marks[None], (flat.shape[0],) + marks.shape)
+    new_values = modulation.embed_marks(
+        original, marks, config.insertion.method, config.insertion.alpha,
+        custom_insert=config.custom_insert, indices=idx,
+    )
+    flat = _batched_scatter(flat, idx, new_values)
+
+    y = dct.idct2_2d(flat.reshape(-1, h, w), precision=config.precision)
+    out = colorspace.yiq_to_rgb(jnp.concatenate([y[..., None], iq], axis=-1))
+    if quantize:
+        out = colorspace.f32_to_u8(out)
+    if single_image:
+        out = out[0]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n"))
+def prepare_base(
+    rgb: jax.Array,
+    n: int,
+    config: ReadConfig = ReadConfig(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward-transform the base (original) image and rank its coefficients.
+
+    Equivalent to ``Reader::base`` (reference: src/algorithm.rs:462-498).
+    Returns ``(flat_coefficients, top_n_indices)``; cache this to amortize the
+    base transform across many derived images (the reference CLI's extraction
+    cache, examples/main.rs:369-412).
+    """
+    single_image = rgb.ndim == 3
+    if single_image:
+        rgb = rgb[None]
+    coeffs, _ = _forward(rgb, config.precision)
+    idx = ranking.top_indices(coeffs, n, config.ordering)
+    flat = coeffs.reshape(coeffs.shape[0], -1)
+    if single_image:
+        return flat[0], idx[0]
+    return flat, idx
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def prepare_derived(
+    rgb: jax.Array,
+    config: ReadConfig = ReadConfig(),
+) -> jax.Array:
+    """Forward-transform a derived (watermarked) image: coefficients only.
+
+    Equivalent to ``Reader::derived`` (reference: src/algorithm.rs:469-480) --
+    no ordering, no extraction config.
+    """
+    single_image = rgb.ndim == 3
+    if single_image:
+        rgb = rgb[None]
+    coeffs, _ = _forward(rgb, config.precision)
+    flat = coeffs.reshape(coeffs.shape[0], -1)
+    return flat[0] if single_image else flat
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def extract_prepared(
+    base_flat: jax.Array,
+    idx: jax.Array,
+    derived_flat: jax.Array,
+    config: ReadConfig = ReadConfig(),
+) -> jax.Array:
+    """Extract mark values given prepared base/derived coefficients.
+
+    Vectorized form of ``Reader::extract_watermark``
+    (reference: src/algorithm.rs:543-562): gather both coefficient sets at the
+    ranked indices and invert the embedding equation.
+    """
+    base_vals = _batched_gather(base_flat, idx)
+    derived_vals = _batched_gather(derived_flat, idx)
+    if config.custom_extract is not None:
+        return config.custom_extract(idx, base_vals, derived_vals)
+    return modulation.extract_values(
+        config.extraction.method, config.extraction.alpha, base_vals, derived_vals
+    )
+
+
+def extract(
+    base: jax.Array,
+    derived: jax.Array,
+    n: int,
+    config: ReadConfig = ReadConfig(),
+) -> jax.Array:
+    """Extract length-``n`` watermark(s): full read path, batched.
+
+    ``base`` and ``derived`` are ``(B, H, W, 3)`` or ``(H, W, 3)`` images.
+    Raises ValueError on the conditions the reference panics on
+    (src/algorithm.rs:550-555): mismatched image sizes, or ``n`` not below
+    the coefficient count (the reference's check is ``>=``, off-by-one
+    included, so ``n`` must be strictly less than W*H).
+    """
+    if base.shape != derived.shape:
+        raise ValueError(
+            "Derived coefficient length not equal to base coefficient length: "
+            f"base {base.shape} vs derived {derived.shape}"
+        )
+    h, w = base.shape[-3], base.shape[-2]
+    if n >= h * w:
+        raise ValueError("Desired extraction length exceeds available coefficients.")
+    base_flat, idx = prepare_base(base, n, config)
+    derived_flat = prepare_derived(derived, config)
+    return extract_prepared(base_flat, idx, derived_flat, config)
+
+
+similarity = jax.jit(modulation.similarity)

@@ -1,0 +1,102 @@
+"""Batched RGB <-> YIQ color conversion and u8 <-> f32 quantization.
+
+TPU-native reimplementation of the reference's per-pixel scalar loops
+(reference: src/yiq.rs:120-197) as one batched matmul over the trailing
+channel axis -- a (..., 3) x (3, 3) contraction the VPU/MXU eats whole, and
+which XLA fuses into neighboring elementwise work.
+
+The conversion matrices are the Python 3.3 ``colorsys`` constants, kept
+deliberately non-ITU-exact for parity with the reference
+(reference: src/yiq.rs:150-165). YIQ->RGB clamps every channel to [0, 1]
+(reference: src/yiq.rs:139-147,174); RGB->YIQ does not clamp.
+
+Quantization helpers reproduce the Rust ``image`` crate's conversions exactly:
+``into_rgb32f`` is u8/255, ``into_rgb8`` is round-half-away-from-zero of
+clamp(x,0,1)*255 (the reference's output path, reference: examples/main.rs:278).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# colorsys forward matrix (rows: y, i, q; cols: r, g, b).
+# Reference: src/yiq.rs:155-159.
+RGB_TO_YIQ = np.array(
+    [
+        [0.30, 0.59, 0.11],
+        [0.60, -0.28, -0.32],
+        [0.21, -0.52, 0.31],
+    ],
+    dtype=np.float32,
+)
+
+# colorsys inverse matrix (rows: r, g, b; cols: y, i, q).
+# Reference: src/yiq.rs:161-165.
+YIQ_TO_RGB = np.array(
+    [
+        [1.0, 0.948262, 0.624013],
+        [1.0, -0.276066, -0.639810],
+        [1.0, -1.105450, 1.729860],
+    ],
+    dtype=np.float32,
+)
+
+
+def rgb_to_yiq(rgb: jax.Array) -> jax.Array:
+    """Convert (..., 3) float32 RGB in [0,1] to YIQ. No clamping.
+
+    Matches the scalar 3x3 product at reference src/yiq.rs:131-136,168-170,
+    including the f32 sum order (a*r + b*g + c*b evaluated left to right).
+    """
+    m = jnp.asarray(RGB_TO_YIQ)
+    # Left-to-right pairwise sum order mirrors the reference's
+    # ``d00*v0 + d01*v1 + d02*v2``; einsum would be equivalent numerically on
+    # TPU but we keep the explicit form for f32 determinism across backends.
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = (m[0, 0] * r + m[0, 1] * g) + m[0, 2] * b
+    i = (m[1, 0] * r + m[1, 1] * g) + m[1, 2] * b
+    q = (m[2, 0] * r + m[2, 1] * g) + m[2, 2] * b
+    return jnp.stack([y, i, q], axis=-1)
+
+
+def yiq_to_rgb(yiq: jax.Array) -> jax.Array:
+    """Convert (..., 3) YIQ to RGB, clamping each channel to [0, 1].
+
+    Matches ``product_clamp`` at reference src/yiq.rs:139-147,172-175.
+    """
+    m = jnp.asarray(YIQ_TO_RGB)
+    y, i, q = yiq[..., 0], yiq[..., 1], yiq[..., 2]
+    r = (m[0, 0] * y + m[0, 1] * i) + m[0, 2] * q
+    g = (m[1, 0] * y + m[1, 1] * i) + m[1, 2] * q
+    b = (m[2, 0] * y + m[2, 1] * i) + m[2, 2] * q
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
+def u8_to_f32(rgb_u8: jax.Array) -> jax.Array:
+    """u8 [0,255] -> f32 [0,1]; the ``image`` crate's ``into_rgb32f``."""
+    return rgb_u8.astype(jnp.float32) / 255.0
+
+
+def f32_to_u8(rgb_f32: jax.Array) -> jax.Array:
+    """f32 -> u8 via clamp(x,0,1)*255 with round-half-away-from-zero.
+
+    This is the ``image`` crate's ``NormalizeFloat`` conversion used by
+    ``into_rgb8`` (the reference's save path, examples/main.rs:278). For
+    non-negative inputs round-half-away-from-zero == floor(x*255 + 0.5).
+    """
+    x = jnp.clip(rgb_f32, 0.0, 1.0) * 255.0
+    return jnp.floor(x + 0.5).astype(jnp.uint8)
+
+
+def np_f32_to_u8(rgb_f32: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) version of :func:`f32_to_u8` for IO paths."""
+    x = np.clip(rgb_f32, 0.0, 1.0) * 255.0
+    return np.floor(x + 0.5).astype(np.uint8)
+
+
+def np_u8_to_f32(rgb_u8: np.ndarray) -> np.ndarray:
+    """Host-side (numpy) version of :func:`u8_to_f32` for IO paths."""
+    return rgb_u8.astype(np.float32) / 255.0

@@ -1,0 +1,109 @@
+"""Watermark modulation: patent step-42 insert/extract equations + similarity.
+
+The reference implements these as boxed scalar closures applied in a loop
+(reference: src/algorithm.rs:414-432 insertion, :566-593 extraction,
+:696-714 similarity). Here they are vectorized over (batch, n) gathers and a
+single (B,N)x(N,K) matmul for the similarity sweep.
+
+Multi-watermark embedding is delta-additive against the *original*
+coefficients, not sequential re-embedding -- each mark's delta
+``f(v_orig, w) - v_orig`` is summed onto the coefficient
+(reference: src/algorithm.rs:382-410; sequential embedding measurably drops
+mean similarity 3.1 -> 2.4 for 100 marks, comment at :389-393). The
+single-mark path applies ``f`` directly, matching the reference's in-place
+fast path bit-for-bit (src/algorithm.rs:394-398).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Method
+
+
+def insert_values(
+    method: Method,
+    alpha: float,
+    original: jax.Array,
+    mark: jax.Array,
+) -> jax.Array:
+    """Apply one insertion equation elementwise (reference: algorithm.rs:414-432)."""
+    if method == Method.OPTION1:
+        return original + alpha * mark
+    if method == Method.OPTION2:
+        return original * (1.0 + alpha * mark)
+    if method == Method.OPTION3:
+        return original * jnp.exp(alpha * mark)
+    raise ValueError(f"unknown method {method}")
+
+
+def extract_values(
+    method: Method,
+    alpha: float,
+    base: jax.Array,
+    derived: jax.Array,
+) -> jax.Array:
+    """Invert one insertion equation elementwise (reference: algorithm.rs:566-593)."""
+    if method == Method.OPTION1:
+        return (derived - base) / alpha
+    if method == Method.OPTION2:
+        return (derived - base) / (base * alpha)
+    if method == Method.OPTION3:
+        return jnp.log(derived / base) / alpha
+    raise ValueError(f"unknown method {method}")
+
+
+def embed_marks(
+    original: jax.Array,
+    marks: jax.Array,
+    method: Method,
+    alpha: float,
+    custom_insert: Optional[Callable] = None,
+    indices: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Modulate M watermarks onto the gathered top-N coefficient values.
+
+    ``original``: (..., n) gathered coefficient values; ``marks``: (M, n) or
+    (..., M, n). Returns the new (..., n) values. Implements the reference's
+    ``embed_watermark`` semantics (src/algorithm.rs:382-410): single mark is
+    a direct application; multiple marks sum per-mark deltas against the
+    original values.
+    """
+    def f(orig, w):
+        if custom_insert is not None:
+            return custom_insert(indices, orig, w)
+        return insert_values(method, alpha, orig, w)
+
+    if marks.ndim == original.ndim:  # single mark, shape (..., n)
+        return f(original, marks)
+    # marks has an extra leading M axis relative to original
+    marks_m = jnp.moveaxis(marks, -2, 0)  # (M, ..., n)
+    if marks_m.shape[0] == 1:
+        return f(original, marks_m[0])
+    deltas = jax.vmap(lambda w: f(original, w) - original)(marks_m)
+    return original + jnp.sum(deltas, axis=0)
+
+
+def similarity(extracted: jax.Array, candidates: jax.Array) -> jax.Array:
+    """Cox et al. detection statistic ``sim(X, X*) = X*.X / sqrt(X*.X*)``.
+
+    ``extracted``: (..., N) extracted marks X*; ``candidates``: (K, N) stored
+    marks X. Returns (..., K). Under the null hypothesis (random candidate,
+    N(0,1) marks) each entry is ~N(0,1), so a threshold of k means "k sigma"
+    (reference: src/algorithm.rs:696-714, README.md:59-62). Note the
+    normalization is by the *extracted* mark's norm only.
+
+    The 10k-watermark similarity sweep is literally this one matmul.
+    """
+    nom = jnp.einsum("...n,kn->...k", extracted, candidates,
+                     precision=jax.lax.Precision.HIGHEST)
+    den = jnp.sqrt(jnp.sum(extracted * extracted, axis=-1, keepdims=True))
+    return nom / den
+
+
+def exceeds_sigma(sim: jax.Array, n_sigma: float) -> jax.Array:
+    """Plain ``>`` on the raw statistic (reference: src/algorithm.rs:677-679)."""
+    return sim > n_sigma

@@ -1,0 +1,85 @@
+"""Coefficient ranking: energy metrics + top-k index selection.
+
+The reference ranks *all* W*H coefficients with a comparison sort and then
+uses only the strongest N (reference: src/algorithm.rs:200-280). Only the
+top-N ranks ever matter, so on TPU this is ``jax.lax.top_k`` over a
+vectorized metric -- O(W*H) work instead of a full O(W*H log W*H) sort, and
+batched over images.
+
+Tie-breaking parity: Rust's stable ``sort_by`` over an ascending-index list
+with a descending comparator leaves ties in ascending index order
+(src/algorithm.rs:204-205); ``lax.top_k`` also returns the lower index first
+for equal values.
+
+The DC coefficient (flat index 0) is always excluded, mirroring the
+``.skip(1)`` at src/algorithm.rs:204 -- here via masking its metric to -inf.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Ordering
+
+
+@functools.lru_cache(maxsize=64)
+def _ortho_scale_map(height: int, width: int) -> np.ndarray:
+    """Per-coefficient scipy-ortho rescale factor, shape (H, W).
+
+    Reproduces ``ordering_orthogonal`` exactly (reference:
+    src/algorithm.rs:240-267): a coefficient at flat index ``i`` gets
+    ``(s_k0_w if i < width else s_w) * (s_k0_h if i % width == 0 else s_h)``,
+    i.e. row 0 uses sqrt(1/(4W)) vs sqrt(1/(2W)), column 0 uses sqrt(1/(4H))
+    vs sqrt(1/(2H)). (The reference pairs row-0 with the *width* factor and
+    col-0 with the *height* factor; we keep that pairing verbatim for parity.)
+    """
+    s_k0_w = np.sqrt(1.0 / (4.0 * width)).astype(np.float32)
+    s_w = np.sqrt(1.0 / (2.0 * width)).astype(np.float32)
+    s_k0_h = np.sqrt(1.0 / (4.0 * height)).astype(np.float32)
+    s_h = np.sqrt(1.0 / (2.0 * height)).astype(np.float32)
+
+    row_factor = np.full((height, 1), s_w, dtype=np.float32)
+    row_factor[0, 0] = s_k0_w  # first row (flat index < width)
+    col_factor = np.full((1, width), s_h, dtype=np.float32)
+    col_factor[0, 0] = s_k0_h  # first column (flat index % width == 0)
+    return row_factor * col_factor
+
+
+def ranking_metric(coeffs: jax.Array, ordering: Ordering) -> jax.Array:
+    """Compute the per-coefficient ranking metric, shape (..., H, W).
+
+    Larger metric == earlier rank. ENERGY is ``v*v``
+    (src/algorithm.rs:214-221); ENERGY_ORTHOGONAL squares the ortho-rescaled
+    value; LEGACY ranks by the raw signed rescaled value -- the preserved 2013
+    bug (src/algorithm.rs:223-232).
+    """
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    if ordering == Ordering.ENERGY:
+        return coeffs * coeffs
+    scale = jnp.asarray(_ortho_scale_map(h, w))
+    scaled = coeffs * scale
+    if ordering == Ordering.ENERGY_ORTHOGONAL:
+        return scaled * scaled
+    if ordering == Ordering.LEGACY:
+        return scaled
+    raise ValueError(f"unknown ordering {ordering}")
+
+
+def top_indices(coeffs: jax.Array, n: int, ordering: Ordering) -> jax.Array:
+    """Indices (flat, row-major) of the N strongest coefficients, DC excluded.
+
+    ``coeffs`` is (..., H, W); returns int32 (..., n) in rank order --
+    equivalent to the first N entries of the reference's
+    ``obtain_indices_by_function`` result (src/algorithm.rs:200-210).
+    """
+    metric = ranking_metric(coeffs, ordering)
+    flat = metric.reshape(*metric.shape[:-2], -1)
+    # Exclude the DC term (flat index 0), reference src/algorithm.rs:204.
+    neg_inf = jnp.asarray(-jnp.inf, dtype=flat.dtype)
+    flat = flat.at[..., 0].set(neg_inf)
+    _, idx = jax.lax.top_k(flat, n)
+    return idx

@@ -1,0 +1,140 @@
+"""Watermark database: versioned JSON store + legacy 2013 ``.wm`` reader.
+
+Schema parity with the reference CLI (reference: examples/main.rs:110-131):
+
+```json
+{"Version1": {
+    "config": {"insert_extract": {"alpha": 0.1, "method": "Option2"},
+                "ordering": "Energy"},
+    "watermarks": [{"values": [...], "description": "..."}]}}
+```
+
+Legacy ``.wm`` files (the author's 2013 Python tool) carry
+``{"alpha": .., "length": .., "version": .., "wm": [...]}`` and are
+interpreted as Option2 insertion with Legacy ordering
+(reference: examples/main.rs:321-344).
+
+This is the framework's durable state -- the closest thing the reference has
+to checkpointing (SURVEY.md section 5) -- so the format, including the
+enum-style serde spellings, is preserved exactly for cross-tool reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List
+
+from ..config import InsertExtract, Method, Ordering
+
+# serde spellings used by the reference CLI's enums (examples/main.rs:10-49).
+_METHOD_TO_JSON = {
+    Method.OPTION1: "Option1",
+    Method.OPTION2: "Option2",
+    Method.OPTION3: "Option3",
+}
+_JSON_TO_METHOD = {v: k for k, v in _METHOD_TO_JSON.items()}
+
+_ORDERING_TO_JSON = {
+    Ordering.ENERGY: "Energy",
+    Ordering.ENERGY_ORTHOGONAL: "EnergyOrthogonal",
+    Ordering.LEGACY: "Legacy",
+}
+_JSON_TO_ORDERING = {v: k for k, v in _ORDERING_TO_JSON.items()}
+
+
+@dataclasses.dataclass(frozen=True)
+class Configuration:
+    """Stored configuration (reference ``Configuration``, examples/main.rs:110-114).
+
+    Embedded in the JSON so extraction self-describes.
+    """
+
+    insert_extract: InsertExtract = InsertExtract()
+    ordering: Ordering = Ordering.ENERGY
+
+
+@dataclasses.dataclass
+class DescribedWatermark:
+    values: List[float]
+    description: str = ""
+
+
+@dataclasses.dataclass
+class WatermarkStorage:
+    """The ``Version1`` storage envelope (examples/main.rs:122-131)."""
+
+    config: Configuration
+    watermarks: List[DescribedWatermark]
+
+    def to_json(self) -> str:
+        obj = {
+            "Version1": {
+                "config": {
+                    "insert_extract": {
+                        "alpha": self.config.insert_extract.alpha,
+                        "method": _METHOD_TO_JSON[self.config.insert_extract.method],
+                    },
+                    "ordering": _ORDERING_TO_JSON[self.config.ordering],
+                },
+                "watermarks": [
+                    {"values": [float(v) for v in wm.values],
+                     "description": wm.description}
+                    for wm in self.watermarks
+                ],
+            }
+        }
+        return json.dumps(obj, indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "WatermarkStorage":
+        obj = json.loads(text)
+        if "Version1" not in obj:
+            raise ValueError(f"unknown watermark storage version: {list(obj)}")
+        v1 = obj["Version1"]
+        cfg = v1["config"]
+        config = Configuration(
+            insert_extract=InsertExtract(
+                alpha=float(cfg["insert_extract"]["alpha"]),
+                method=_JSON_TO_METHOD[cfg["insert_extract"]["method"]],
+            ),
+            ordering=_JSON_TO_ORDERING[cfg["ordering"]],
+        )
+        watermarks = [
+            DescribedWatermark(values=wm["values"],
+                               description=wm.get("description", ""))
+            for wm in v1["watermarks"]
+        ]
+        return WatermarkStorage(config=config, watermarks=watermarks)
+
+
+def interpret_legacy_watermark(text: str) -> WatermarkStorage:
+    """Upgrade a 2013 ``.wm`` JSON file (reference: examples/main.rs:321-344)."""
+    obj = json.loads(text)
+    return WatermarkStorage(
+        config=Configuration(
+            insert_extract=InsertExtract(alpha=float(obj["alpha"]),
+                                         method=Method.OPTION2),
+            ordering=Ordering.LEGACY,
+        ),
+        watermarks=[DescribedWatermark(values=obj["wm"], description="")],
+    )
+
+
+def load_watermark_file(path: str | os.PathLike) -> WatermarkStorage:
+    """Load either a Version1 ``.json`` or a legacy ``.wm`` file.
+
+    Dispatch on the ``.wm`` suffix like the reference CLI
+    (examples/main.rs:358-366).
+    """
+    with open(path) as f:
+        text = f.read()
+    if str(path).endswith(".wm"):
+        return interpret_legacy_watermark(text)
+    return WatermarkStorage.from_json(text)
+
+
+def save_watermark_file(path: str | os.PathLike, storage: WatermarkStorage) -> None:
+    with open(path, "w") as f:
+        f.write(storage.to_json())
