@@ -1,0 +1,93 @@
+"""DCT numerics tests against the scipy.fftpack oracle.
+
+The reference's golden-value tests were generated from scipy snippets kept in
+its comments (reference: src/dct2d.rs:221-525); scipy is available here, so
+we test against the oracle directly, on the same shapes the reference pins
+(3x3, 5x4, 4x3) plus larger/batched cases. Tolerance mirrors the reference's
+1e-4 absolute bar (src/dct2d.rs:251,289,318).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.fftpack
+
+from spread_spectrum_watermarking_tpu.config import Precision
+from spread_spectrum_watermarking_tpu.ops import dct
+
+
+def scipy_dct2_2d(x, norm=None):
+    # The reference's definition of a 2-D DCT: one scipy pass per axis
+    # (src/dct2d.rs:17-32 quotes the 2013 Python reference implementation).
+    return scipy.fftpack.dct(
+        scipy.fftpack.dct(x, type=2, axis=-1, norm=norm), type=2, axis=-2, norm=norm)
+
+
+def scipy_idct2_2d(x):
+    # Inverse of the non-ortho forward: scipy idct type 2 with its scaling.
+    y = scipy.fftpack.idct(
+        scipy.fftpack.idct(x, type=2, axis=-1), type=2, axis=-2)
+    h, w = x.shape[-2], x.shape[-1]
+    return y / (4.0 * h * w)
+
+
+@pytest.mark.parametrize("shape", [(3, 3), (5, 4), (4, 3), (8, 8), (37, 59)])
+def test_dct2_matches_scipy(shape):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(shape).astype(np.float32)
+    got = np.asarray(dct.dct2_2d(jnp.asarray(x)))
+    want = scipy_dct2_2d(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, atol=1e-4 * max(1.0, np.abs(want).max()))
+
+
+@pytest.mark.parametrize("shape", [(3, 3), (5, 4), (4, 3)])
+def test_dct2_ortho_matches_scipy(shape):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(shape).astype(np.float32)
+    got = np.asarray(dct.dct2_2d(jnp.asarray(x), ortho=True))
+    want = scipy_dct2_2d(x.astype(np.float64), norm="ortho")
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_simple_1d_golden():
+    # The reference's first golden: dct([1,0,0]) == [2, 1.73205081, 1]
+    # (src/dct2d.rs:229-245, scipy type-2 scaling).
+    x = jnp.asarray([[1.0, 0.0, 0.0]], dtype=jnp.float32)
+    got = np.asarray(dct.dct2_2d(x))[0]
+    # A (1,3) image: the column pass over a length-1 axis multiplies by 2.
+    np.testing.assert_allclose(got, [2 * 2.0, 2 * 1.73205081, 2 * 1.0], atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(3, 3), (5, 4), (6, 4), (64, 48)])
+def test_roundtrip_identity(shape):
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(shape).astype(np.float32)
+    back = np.asarray(dct.idct2_2d(dct.dct2_2d(jnp.asarray(x))))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_idct_matches_scipy():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 4)).astype(np.float32)
+    got = np.asarray(dct.idct2_2d(jnp.asarray(x)))
+    want = scipy_idct2_2d(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_batched_matches_loop():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 6, 5)).astype(np.float32)
+    batched = np.asarray(dct.dct2_2d(jnp.asarray(x)))
+    for i in range(3):
+        single = np.asarray(dct.dct2_2d(jnp.asarray(x[i])))
+        np.testing.assert_allclose(batched[i], single, atol=1e-5)
+
+
+def test_precision_modes_close():
+    # HIGH (bf16x3) must stay close to HIGHEST on realistic image data.
+    rng = np.random.default_rng(5)
+    x = rng.random((64, 48), dtype=np.float32)
+    hi = np.asarray(dct.dct2_2d(jnp.asarray(x), precision=Precision.HIGHEST))
+    mid = np.asarray(dct.dct2_2d(jnp.asarray(x), precision=Precision.HIGH))
+    scale = np.abs(hi).max()
+    assert np.abs(hi - mid).max() / scale < 1e-5

@@ -1,0 +1,139 @@
+"""Integration tests on the reference's cat image (cf. tests/single_simple.rs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import spread_spectrum_watermarking_tpu as wm
+
+
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def embedded(cat_image):
+    key = jax.random.PRNGKey(1)
+    mark = np.asarray(wm.generate_normal(key, N))
+    marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark)))
+    return cat_image, mark, marked
+
+
+def test_embed_extract_self_similarity(embedded):
+    # Mirrors tests/single_simple.rs: embed, quantize to u8, extract, and
+    # check per-coefficient error (<0.12 max, <0.02 mean after quantization,
+    # single_simple.rs:59-70) and self-similarity (~31 sigma, :78-79).
+    cat, mark, marked = embedded
+    ext = np.asarray(wm.extract(jnp.asarray(cat), jnp.asarray(marked), N))
+    err = np.abs(ext - mark)
+    assert err.max() < 0.12, err.max()
+    assert err.mean() < 0.02, err.mean()
+    sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(mark[None])))[0]
+    assert sim > 25.0, sim  # reference: 31.24 with its own RNG sequence
+    # Null hypothesis: a random mark stays under 3 sigma
+    # (single_simple.rs:84-90 uses < 2 for one fixed seed).
+    rand = np.asarray(wm.generate_normal(jax.random.PRNGKey(0xBAAAAAAD), N))
+    rand_sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(rand[None])))[0]
+    assert abs(rand_sim) < 3.0, rand_sim
+
+
+def test_unquantized_extraction_near_exact(cat_image):
+    # Without u8 quantization the round trip recovers the mark to float
+    # precision -- validates DCT inverse + modulation inverse jointly.
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(5), N))
+    marked = np.asarray(
+        wm.embed(jnp.asarray(cat_image), jnp.asarray(mark), quantize=False))
+    ext = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), N))
+    # Residual error stems from the YIQ->RGB [0,1] clamp (present in the
+    # reference too, src/yiq.rs:174) and f32 transform precision; it must be
+    # well under the quantized pipeline's 0.02 bound.
+    err = np.abs(ext - mark)
+    assert err.mean() < 0.01, err.mean()
+
+
+def test_batch_matches_single(cat_image):
+    # Batched embed over B=3 must equal three single embeds.
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(2), N, count=3))
+    batch = np.stack([cat_image] * 3)
+    out_b = np.asarray(wm.embed(jnp.asarray(batch), jnp.asarray(marks[:, None, :])))
+    for i in range(3):
+        out_i = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(marks[i])))
+        np.testing.assert_array_equal(out_b[i], out_i)
+
+
+def test_multimark_interference(cat_image):
+    # 16 marks into one image (BASELINE.json config 2): every mark must
+    # still be detectable, and all sims are computed in one sweep.
+    m = 16
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(3), N, count=m))
+    marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(marks)))
+    ext = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), N))
+    sims = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(marks)))
+    assert sims.shape == (m,)
+    # With 16 interfering marks the expected per-mark sim drops to roughly
+    # 31/sqrt(16) ~ 7.8 with sampling spread; all must stay far above null.
+    assert sims.min() > 4.0, sims
+    # Random marks remain null.
+    rand = np.asarray(wm.generate_normal(jax.random.PRNGKey(4), N, count=8))
+    null = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(rand)))
+    assert np.abs(null).max() < 4.0, null
+
+
+def test_writer_reader_tester_wrappers(cat_image):
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(6), N))
+    marked = wm.Writer(cat_image).mark(mark)
+    assert marked.dtype == np.uint8 and marked.shape == cat_image.shape
+    reader = wm.Reader.base(cat_image)
+    ext = reader.extract(wm.Reader.derived(marked), N)
+    sim = wm.Tester(ext).similarity(mark)
+    assert sim.exceeds_sigma(25.0)
+    assert not wm.Tester(ext).similarity(
+        np.asarray(wm.generate_normal(jax.random.PRNGKey(7), N))).exceeds_sigma(3.0)
+
+
+def test_option1_and_option3_end_to_end(cat_image):
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(8), N))
+    for method, alpha in [(wm.Method.OPTION1, 50.0), (wm.Method.OPTION3, 0.1)]:
+        # Option1's alpha is absolute (reference main.rs:64-66) -- DCT
+        # coefficients of a 640x444 image are large, so use a large alpha.
+        wcfg = wm.WriteConfig(insertion=wm.InsertExtract(alpha=alpha, method=method))
+        rcfg = wm.ReadConfig(extraction=wm.InsertExtract(alpha=alpha, method=method))
+        marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark), wcfg))
+        ext = np.asarray(
+            wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), N, rcfg))
+        sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(mark[None])))[0]
+        assert sim > 10.0, (method, sim)
+
+
+def test_orderings_end_to_end(cat_image):
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(9), N))
+    for ordering in [wm.Ordering.ENERGY_ORTHOGONAL, wm.Ordering.LEGACY]:
+        wcfg = wm.WriteConfig(ordering=ordering)
+        rcfg = wm.ReadConfig(ordering=ordering)
+        marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark), wcfg))
+        ext = np.asarray(
+            wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), N, rcfg))
+        sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(mark[None])))[0]
+        assert sim > 10.0, (ordering, sim)
+
+
+def test_custom_insert_extract(cat_image):
+    # The reference's Insertion::Custom/Extraction::Custom closures
+    # (src/algorithm.rs:76,123) -> traced callables here.
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(10), N))
+    ins = lambda idx, orig, w: orig * (1.0 + 0.2 * w)
+    ext_fn = lambda idx, base, derived: (derived - base) / (base * 0.2)
+    wcfg = wm.WriteConfig(custom_insert=ins)
+    rcfg = wm.ReadConfig(custom_extract=ext_fn)
+    marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark), wcfg))
+    ext = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), N, rcfg))
+    sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(mark[None])))[0]
+    assert sim > 25.0, sim
+
+
+def test_error_conditions(cat_image):
+    with pytest.raises(ValueError, match="not equal"):
+        wm.extract(jnp.asarray(cat_image), jnp.asarray(cat_image[:100]), 10)
+    h, w = cat_image.shape[:2]
+    with pytest.raises(ValueError, match="exceeds available"):
+        wm.extract(jnp.asarray(cat_image), jnp.asarray(cat_image), h * w)

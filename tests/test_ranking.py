@@ -1,0 +1,80 @@
+"""Ranking tests, mirroring reference src/algorithm.rs:717-727 and the
+ortho-scaled orderings (src/algorithm.rs:235-280)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spread_spectrum_watermarking_tpu.config import Ordering
+from spread_spectrum_watermarking_tpu.ops import ranking
+
+
+def test_indices_by_energy():
+    # Reference test_indices (src/algorithm.rs:722-727): coefficients
+    # [-3, 5, -8, 7, 1, 2] -> energy order (skipping DC) [2, 3, 1, 5, 4].
+    coeffs = jnp.asarray([[-3.0, 5.0, -8.0, 7.0, 1.0, 2.0]])  # (1, 6) image
+    idx = np.asarray(ranking.top_indices(coeffs, 5, Ordering.ENERGY))
+    np.testing.assert_array_equal(idx, [2, 3, 1, 5, 4])
+
+
+def test_indices_batched():
+    coeffs = jnp.asarray([
+        [[-3.0, 5.0, -8.0, 7.0, 1.0, 2.0]],
+        [[0.0, 1.0, 2.0, 3.0, 4.0, 5.0]],
+    ])  # (2, 1, 6)
+    idx = np.asarray(ranking.top_indices(coeffs, 3, Ordering.ENERGY))
+    np.testing.assert_array_equal(idx[0], [2, 3, 1])
+    np.testing.assert_array_equal(idx[1], [5, 4, 3])
+
+
+def test_dc_always_excluded():
+    coeffs = jnp.asarray([[100.0, 1.0, 2.0, 3.0]])
+    idx = np.asarray(ranking.top_indices(coeffs, 3, Ordering.ENERGY))
+    assert 0 not in idx
+
+
+def test_tie_break_lower_index_first():
+    # Rust stable sort keeps ascending index order for equal energies.
+    coeffs = jnp.asarray([[9.0, 2.0, -2.0, 2.0, 5.0]])
+    idx = np.asarray(ranking.top_indices(coeffs, 4, Ordering.ENERGY))
+    np.testing.assert_array_equal(idx, [4, 1, 2, 3])
+
+
+def test_ortho_scale_map_matches_reference_formula():
+    # Reproduce ordering_orthogonal's per-index scaling exactly
+    # (src/algorithm.rs:240-267) with a scalar reimplementation.
+    h, w = 4, 6
+    scale = ranking._ortho_scale_map(h, w)
+    s_k0_w = np.float32(np.sqrt(1.0 / (4.0 * w)))
+    s_w = np.float32(np.sqrt(1.0 / (2.0 * w)))
+    s_k0_h = np.float32(np.sqrt(1.0 / (4.0 * h)))
+    s_h = np.float32(np.sqrt(1.0 / (2.0 * h)))
+    for index in range(h * w):
+        first_row = index < w
+        first_col = (index % w) == 0
+        want = (s_k0_w if first_row else s_w) * (s_k0_h if first_col else s_h)
+        got = scale[index // w, index % w]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_legacy_ordering_is_signed():
+    # Legacy ranks by raw (ortho-scaled) value: most positive first,
+    # negatives last -- the preserved 2013 bug (src/algorithm.rs:223-232).
+    coeffs = jnp.asarray([[0.0, -100.0, 1.0, 50.0]])
+    idx_legacy = np.asarray(ranking.top_indices(coeffs, 3, Ordering.LEGACY))
+    # scale factors are positive, so order by value: 50 > 1 > -100
+    np.testing.assert_array_equal(idx_legacy, [3, 2, 1])
+    idx_energy = np.asarray(ranking.top_indices(coeffs, 3, Ordering.ENERGY))
+    np.testing.assert_array_equal(idx_energy, [1, 3, 2])
+
+
+def test_energy_orthogonal_changes_selection():
+    # A coefficient on row/col 0 gets down-weighted by the ortho factors, so
+    # near-ties flip between ENERGY and ENERGY_ORTHOGONAL.
+    coeffs = np.zeros((4, 6), dtype=np.float32)
+    coeffs[0, 2] = 10.0     # on first row -> scaled by s_k0... factor pair
+    coeffs[2, 3] = 9.0      # interior
+    idx_e = np.asarray(ranking.top_indices(jnp.asarray(coeffs), 1, Ordering.ENERGY))
+    idx_o = np.asarray(
+        ranking.top_indices(jnp.asarray(coeffs), 1, Ordering.ENERGY_ORTHOGONAL))
+    assert idx_e[0] == 2          # raw energy picks the 10
+    assert idx_o[0] == 2 * 6 + 3  # ortho rescale favors the interior 9

@@ -1,0 +1,63 @@
+"""Watermark JSON store tests (reference: examples/main.rs:110-131, 321-344)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from spread_spectrum_watermarking_tpu.config import InsertExtract, Method, Ordering
+from spread_spectrum_watermarking_tpu.utils import storage
+
+
+def test_version1_roundtrip(tmp_path):
+    st = storage.WatermarkStorage(
+        config=storage.Configuration(
+            insert_extract=InsertExtract(alpha=0.25, method=Method.OPTION3),
+            ordering=Ordering.ENERGY_ORTHOGONAL,
+        ),
+        watermarks=[
+            storage.DescribedWatermark(values=[1.0, -2.5, 0.125], description="abc"),
+            storage.DescribedWatermark(values=[0.0], description=""),
+        ],
+    )
+    path = tmp_path / "wm.json"
+    storage.save_watermark_file(path, st)
+    back = storage.load_watermark_file(path)
+    assert back.config == st.config
+    assert len(back.watermarks) == 2
+    np.testing.assert_array_equal(back.watermarks[0].values, st.watermarks[0].values)
+    assert back.watermarks[0].description == "abc"
+
+
+def test_json_shape_matches_reference_serde():
+    # The envelope must be {"Version1": {"config": {...}, "watermarks": [...]}}
+    # with serde enum spellings (Option2/Energy), so files interchange with
+    # the reference CLI.
+    st = storage.WatermarkStorage(
+        config=storage.Configuration(),
+        watermarks=[storage.DescribedWatermark(values=[1.5], description="d")],
+    )
+    obj = json.loads(st.to_json())
+    assert set(obj) == {"Version1"}
+    v1 = obj["Version1"]
+    assert v1["config"]["insert_extract"] == {"alpha": 0.1, "method": "Option2"}
+    assert v1["config"]["ordering"] == "Energy"
+    assert v1["watermarks"] == [{"values": [1.5], "description": "d"}]
+
+
+def test_legacy_wm_interpretation(tmp_path):
+    # Legacy 2013 files map to Option2 + Legacy ordering
+    # (reference: examples/main.rs:321-344).
+    legacy = {"alpha": 0.3, "length": 3, "version": "legacy", "wm": [0.1, -0.2, 0.3]}
+    path = tmp_path / "old.wm"
+    path.write_text(json.dumps(legacy))
+    st = storage.load_watermark_file(path)
+    assert st.config.insert_extract.method == Method.OPTION2
+    assert st.config.insert_extract.alpha == pytest.approx(0.3)
+    assert st.config.ordering == Ordering.LEGACY
+    np.testing.assert_allclose(st.watermarks[0].values, [0.1, -0.2, 0.3])
+
+
+def test_unknown_version_rejected():
+    with pytest.raises(ValueError, match="version"):
+        storage.WatermarkStorage.from_json('{"Version2": {}}')
