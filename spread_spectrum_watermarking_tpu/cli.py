@@ -1,0 +1,259 @@
+"""Command-line interface: ``watermark`` and ``test`` + batch/bench extensions.
+
+Mirrors the reference CLI's surface and defaults (reference:
+examples/main.rs:135-212): watermark length 1000, alpha 0.1, Option2,
+Energy ordering, 6-sigma match threshold; ``<stem>_wm.png``/``_wm.json``
+output naming with no-overwrite guards (examples/main.rs:246-265); the
+Version1 JSON store with the config embedded (examples/main.rs:284-304); the
+legacy ``.wm`` reader; and the YAML-ish result block of the ``test``
+subcommand (examples/main.rs:418-429).
+
+Extensions the reference lacks: ``batch`` (embed a directory of images in one
+sharded TPU batch) and ``bench`` (throughput harness).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .config import InsertExtract, Method, Ordering, ReadConfig, WriteConfig
+from .utils import image_io, storage
+
+_ORDERING_CHOICES = {
+    "energy": Ordering.ENERGY,
+    "energy-orthogonal": Ordering.ENERGY_ORTHOGONAL,
+    "legacy": Ordering.LEGACY,
+}
+_METHOD_CHOICES = {
+    "option1": Method.OPTION1,
+    "option2": Method.OPTION2,
+    "option3": Method.OPTION3,
+}
+
+
+def _add_watermark_config_args(p: argparse.ArgumentParser) -> None:
+    # Defaults per reference examples/main.rs:66-70,146-156.
+    p.add_argument("--length", type=int, default=1000, help="Watermark length.")
+    p.add_argument("--ordering", choices=_ORDERING_CHOICES, default="energy",
+                   help="The ordering to be used.")
+    p.add_argument("--alpha", type=float, default=0.1,
+                   help="Strength, alpha in the equations. For option1 this is "
+                        "an absolute (not relative) scaling.")
+    p.add_argument("--method", choices=_METHOD_CHOICES, default="option2",
+                   help="Method to insert and extract with.")
+
+
+def cmd_watermark(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from . import embed, extract, generate_normal, similarity
+
+    image_path = Path(args.file)
+    try:
+        orig = image_io.load_rgb_u8(image_path)
+    except Exception as e:
+        print(f"Could not load image at {image_path}: {e}", file=sys.stderr)
+        return 1
+
+    # Name wrangling: /tmp/foo.jpg -> /tmp/foo_wm.png + /tmp/foo_wm.json
+    # (reference: examples/main.rs:245-251).
+    image_out = image_path.with_name(image_path.stem + "_wm").with_suffix(".png")
+    json_out = image_out.with_suffix(".json")
+    for p in (image_out, json_out):  # no-overwrite guards (main.rs:253-265)
+        if p.exists():
+            print(f"{p} file already exists", file=sys.stderr)
+            return 1
+
+    method = _METHOD_CHOICES[args.method]
+    ordering = _ORDERING_CHOICES[args.ordering]
+    ie = InsertExtract(alpha=args.alpha, method=method)
+    wcfg = WriteConfig(insertion=ie, ordering=ordering)
+
+    if args.seed is not None:
+        key = jax.random.PRNGKey(args.seed)
+    else:
+        key = jax.random.PRNGKey(int.from_bytes(os.urandom(4), "little"))
+    mark = np.asarray(generate_normal(key, args.length))
+
+    marked = np.asarray(embed(jnp.asarray(orig), jnp.asarray(mark), wcfg))
+    image_io.save_rgb(image_out, marked)
+
+    st = storage.WatermarkStorage(
+        config=storage.Configuration(insert_extract=ie, ordering=ordering),
+        watermarks=[storage.DescribedWatermark(
+            values=[float(v) for v in mark],
+            description=args.description or "")],
+    )
+    storage.save_watermark_file(json_out, st)
+
+    if args.print_similarity:
+        rcfg = ReadConfig(extraction=ie, ordering=ordering)
+        ext = np.asarray(extract(jnp.asarray(orig),
+                                 jnp.asarray(image_io.load_rgb_u8(image_out)),
+                                 args.length, rcfg))
+        sim = float(np.asarray(similarity(jnp.asarray(ext),
+                                          jnp.asarray(mark[None])))[0])
+        print(f"sim: Similarity {{ similarity: {sim} }}")
+        print(f"exceeds 6 sigma: {str(sim > 6.0).lower()}")
+    return 0
+
+
+def cmd_test(args) -> int:
+    import jax.numpy as jnp
+
+    from . import extract, similarity
+
+    base = image_io.load_rgb_u8(args.base)
+    watermarked = image_io.load_rgb_u8(args.watermarked)
+
+    loaded = [(path, storage.load_watermark_file(path))
+              for path in args.watermark_files]
+
+    # Extraction cache keyed on (config, length): one extraction serves any
+    # number of candidate marks (reference: examples/main.rs:369-412).
+    retrieved: dict = {}
+    for path, st in loaded:
+        cfg = st.config
+        for mark in st.watermarks:
+            key = (cfg, len(mark.values))
+            if key not in retrieved:
+                rcfg = ReadConfig(extraction=cfg.insert_extract,
+                                  ordering=cfg.ordering)
+                retrieved[key] = np.asarray(extract(
+                    jnp.asarray(base), jnp.asarray(watermarked),
+                    len(mark.values), rcfg))
+            ext = retrieved[key]
+            vals = np.asarray(mark.values, dtype=np.float32)
+            sim = float(np.asarray(similarity(
+                jnp.asarray(ext[None]), jnp.asarray(vals[None])))[0, 0])
+            # Output block format per reference examples/main.rs:418-429.
+            print("-")
+            print(f"  Matches: {str(sim > args.similarity_exceed).lower()}")
+            print(f"  Similarity: {sim}")
+            print(f"  MatchExceed: {args.similarity_exceed}")
+            desc = mark.description.replace('"', '\\"')
+            print(f'  Description: "{desc}"')
+            print(f'  File: "{path}"')
+    return 0
+
+
+def cmd_batch(args) -> int:
+    """Embed fresh marks into every image in a directory, batched on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import embed, generate_normal
+
+    paths = sorted(
+        p for p in Path(args.directory).iterdir()
+        if p.suffix.lower() in {".png", ".jpg", ".jpeg", ".bmp"}
+        and not p.stem.endswith("_wm"))
+    if not paths:
+        print(f"no images found in {args.directory}", file=sys.stderr)
+        return 1
+    out_dir = Path(args.output_dir or args.directory)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    images = image_io.load_batch_u8(paths)
+    ie = InsertExtract(alpha=args.alpha, method=_METHOD_CHOICES[args.method])
+    wcfg = WriteConfig(insertion=ie, ordering=_ORDERING_CHOICES[args.ordering])
+    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+
+    # Group by shape so each group is one batched device program.
+    by_shape: dict = {}
+    for p, img in zip(paths, images):
+        by_shape.setdefault(img.shape, []).append((p, img))
+    t0 = time.perf_counter()
+    count = 0
+    for shape, items in by_shape.items():
+        batch = np.stack([img for _, img in items])
+        key, sub = jax.random.split(key)
+        marks = np.asarray(generate_normal(sub, args.length, count=len(items)))
+        marked = np.asarray(embed(jnp.asarray(batch),
+                                  jnp.asarray(marks[:, None, :]), wcfg))
+        for (p, _), img_out, mark in zip(items, marked, marks):
+            out_img = out_dir / (p.stem + "_wm.png")
+            image_io.save_rgb(out_img, img_out)
+            st = storage.WatermarkStorage(
+                config=storage.Configuration(
+                    insert_extract=ie,
+                    ordering=_ORDERING_CHOICES[args.ordering]),
+                watermarks=[storage.DescribedWatermark(
+                    values=[float(v) for v in mark], description=p.name)],
+            )
+            storage.save_watermark_file(out_dir / (p.stem + "_wm.json"), st)
+            count += 1
+    dt = time.perf_counter() - t0
+    print(f"embedded {count} images in {dt:.2f}s ({count / dt:.1f} img/s)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .bench import run_bench
+
+    run_bench(batch=args.batch, size=args.size, length=args.length,
+              iters=args.iters)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ssw-tpu",
+        description="TPU-native spread-spectrum watermarking "
+                    "(Cox et al. 1997, patent US5930369 step-42 equations).")
+    sub = parser.add_subparsers(dest="command")
+
+    p_wm = sub.add_parser("watermark", help="Embed a watermark into a file.")
+    p_wm.add_argument("file", help="The file to watermark.")
+    _add_watermark_config_args(p_wm)
+    p_wm.add_argument("--description", "-d", default=None,
+                      help="Description stored in the json file.")
+    p_wm.add_argument("-p", dest="print_similarity", action="store_true",
+                      help="Show embedded watermark similarity.")
+    p_wm.add_argument("--seed", type=int, default=None,
+                      help="PRNG seed (jax.random) for reproducible marks.")
+
+    p_test = sub.add_parser(
+        "test", help="Test if any of the watermarks are present in the file.")
+    p_test.add_argument("--similarity-exceed", type=float, default=6.0,
+                        help="Sigma threshold considered a match (default 6).")
+    p_test.add_argument("base", help="The original file.")
+    p_test.add_argument("watermarked", help="The derived (watermarked) file.")
+    p_test.add_argument("watermark_files", nargs="+",
+                        help="The watermark files to test from (.json or legacy .wm).")
+
+    p_batch = sub.add_parser("batch", help="Watermark a directory of images (batched).")
+    p_batch.add_argument("directory")
+    p_batch.add_argument("--output-dir", default=None)
+    _add_watermark_config_args(p_batch)
+    p_batch.add_argument("--seed", type=int, default=None)
+
+    p_bench = sub.add_parser("bench", help="Throughput benchmark.")
+    p_bench.add_argument("--batch", type=int, default=32)
+    p_bench.add_argument("--size", default="1080p",
+                         help="HxW (e.g. 1080x1920) or 1080p/4k/cat")
+    p_bench.add_argument("--length", type=int, default=1000)
+    p_bench.add_argument("--iters", type=int, default=10)
+
+    args = parser.parse_args(argv)
+    if args.command == "watermark":
+        return cmd_watermark(args)
+    if args.command == "test":
+        return cmd_test(args)
+    if args.command == "batch":
+        return cmd_batch(args)
+    if args.command == "bench":
+        return cmd_bench(args)
+    parser.print_help()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

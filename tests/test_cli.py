@@ -1,0 +1,107 @@
+"""CLI tests (reference: examples/main.rs end-to-end behavior)."""
+
+import json
+import shutil
+
+import numpy as np
+import pytest
+
+from spread_spectrum_watermarking_tpu import cli
+from spread_spectrum_watermarking_tpu.utils import image_io
+from tests.conftest import CAT_JPG
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    shutil.copy(CAT_JPG, tmp_path / "cat.jpg")
+    return tmp_path
+
+
+def test_watermark_and_test_roundtrip(workdir, capsys):
+    rc = cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "11", "-p"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sim: Similarity" in out
+    assert "exceeds 6 sigma: true" in out
+    assert (workdir / "cat_wm.png").exists()
+    assert (workdir / "cat_wm.json").exists()
+
+    # JSON self-describes config, reference Version1 schema.
+    obj = json.loads((workdir / "cat_wm.json").read_text())
+    assert obj["Version1"]["config"]["insert_extract"]["method"] == "Option2"
+    assert len(obj["Version1"]["watermarks"][0]["values"]) == 1000
+
+    rc = cli.main(["test", str(workdir / "cat.jpg"), str(workdir / "cat_wm.png"),
+                   str(workdir / "cat_wm.json")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Matches: true" in out
+    assert "MatchExceed: 6.0" in out
+
+
+def test_no_overwrite_guard(workdir, capsys):
+    (workdir / "cat_wm.png").write_bytes(b"")
+    rc = cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "1"])
+    assert rc == 1
+    assert "already exists" in capsys.readouterr().err
+
+
+def test_test_subcommand_rejects_wrong_mark(workdir, capsys):
+    assert cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "11"]) == 0
+    capsys.readouterr()
+    # Build a bogus watermark file with random values: must not match.
+    obj = json.loads((workdir / "cat_wm.json").read_text())
+    rng = np.random.default_rng(0)
+    obj["Version1"]["watermarks"][0]["values"] = (
+        rng.standard_normal(1000).astype(float).tolist())
+    (workdir / "bogus.json").write_text(json.dumps(obj))
+    rc = cli.main(["test", str(workdir / "cat.jpg"), str(workdir / "cat_wm.png"),
+                   str(workdir / "bogus.json")])
+    assert rc == 0
+    assert "Matches: false" in capsys.readouterr().out
+
+
+def test_legacy_wm_file(workdir, capsys):
+    # Legacy .wm files route through Option2 + Legacy ordering
+    # (reference: examples/main.rs:321-344,358-362). Build one by embedding
+    # with that config ourselves.
+    import jax.numpy as jnp
+
+    import spread_spectrum_watermarking_tpu as wm
+    from spread_spectrum_watermarking_tpu.utils import rng_compat
+
+    cat = image_io.load_rgb_u8(workdir / "cat.jpg")
+    mark = rng_compat.generate_fixed_normal_sequence(3, 1000)
+    wcfg = wm.WriteConfig(ordering=wm.Ordering.LEGACY)
+    marked = np.asarray(wm.embed(jnp.asarray(cat), jnp.asarray(mark), wcfg))
+    image_io.save_rgb(workdir / "legacy_wm.png", marked)
+    legacy = {"alpha": 0.1, "length": 1000, "version": "2013",
+              "wm": [float(v) for v in mark]}
+    (workdir / "old.wm").write_text(json.dumps(legacy))
+
+    rc = cli.main(["test", str(workdir / "cat.jpg"),
+                   str(workdir / "legacy_wm.png"), str(workdir / "old.wm")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Matches: true" in out
+    assert 'File: "' in out
+
+
+def test_batch_subcommand(workdir, capsys):
+    shutil.copy(workdir / "cat.jpg", workdir / "cat2.jpg")
+    rc = cli.main(["batch", str(workdir), "--length", "500", "--seed", "0"])
+    assert rc == 0
+    assert (workdir / "cat_wm.png").exists()
+    assert (workdir / "cat2_wm.json").exists()
+    # Each image must receive a DIFFERENT mark.
+    a = json.loads((workdir / "cat_wm.json").read_text())
+    b = json.loads((workdir / "cat2_wm.json").read_text())
+    va = a["Version1"]["watermarks"][0]["values"]
+    vb = b["Version1"]["watermarks"][0]["values"]
+    assert len(va) == 500 and va != vb
+    # And each must test positive against its own image.
+    capsys.readouterr()
+    rc = cli.main(["test", str(workdir / "cat.jpg"), str(workdir / "cat_wm.png"),
+                   str(workdir / "cat_wm.json")])
+    assert rc == 0
+    assert "Matches: true" in capsys.readouterr().out

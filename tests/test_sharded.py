@@ -1,0 +1,146 @@
+"""Multi-device tests on the 8-way virtual CPU mesh.
+
+These verify the determinism contract the reference never needed: identical
+results for 1-chip vs N-chip execution (SURVEY.md section 5, "race tests
+become determinism-across-shardings tests").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import spread_spectrum_watermarking_tpu as wm
+from spread_spectrum_watermarking_tpu.config import Ordering
+from spread_spectrum_watermarking_tpu.ops import dct, ranking
+from spread_spectrum_watermarking_tpu.parallel import (
+    dct_sharded,
+    make_mesh,
+    pipeline_sharded,
+)
+from spread_spectrum_watermarking_tpu.parallel.mesh import SPATIAL_AXIS
+from spread_spectrum_watermarking_tpu.parallel.topk_sharded import (
+    distributed_top_indices,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def spatial_mesh():
+    return make_mesh((1, 8))
+
+
+@pytest.fixture(scope="module")
+def data_mesh():
+    return make_mesh((8, 1))
+
+
+def test_sharded_dct_matches_single(spatial_mesh):
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal((64, 96)).astype(np.float32)
+    want = np.asarray(dct.dct2_2d(jnp.asarray(y)))
+    got = np.asarray(dct_sharded.dct2_2d_sharded(jnp.asarray(y), spatial_mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_idct_roundtrip(spatial_mesh):
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal((64, 96)).astype(np.float32)
+    c = dct_sharded.dct2_2d_sharded(jnp.asarray(y), spatial_mesh)
+    back = np.asarray(dct_sharded.idct2_2d_sharded(c, spatial_mesh))
+    np.testing.assert_allclose(back, y, atol=1e-4)
+
+
+def test_sharded_dct_rejects_indivisible(spatial_mesh):
+    with pytest.raises(ValueError, match="divisible"):
+        dct_sharded.dct2_2d_sharded(jnp.zeros((63, 96)), spatial_mesh)
+
+
+@pytest.mark.parametrize("ordering", list(Ordering))
+def test_distributed_topk_matches_single(spatial_mesh, ordering):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(2)
+    h, w = 32, 64
+    coeffs = rng.standard_normal((h, w)).astype(np.float32)
+    want = np.asarray(ranking.top_indices(jnp.asarray(coeffs), 50, ordering))
+
+    got = shard_map(
+        lambda blk: distributed_top_indices(blk, 50, ordering, h, w),
+        mesh=spatial_mesh,
+        in_specs=P(None, SPATIAL_AXIS),
+        out_specs=P(None),
+    )(jnp.asarray(coeffs))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_distributed_topk_tie_break(spatial_mesh):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    # Equal metrics across different shards: lower global index must win.
+    h, w = 8, 64
+    coeffs = np.zeros((h, w), dtype=np.float32)
+    coeffs[0, 5] = 2.0    # shard 0
+    coeffs[0, 60] = -2.0  # shard 7, equal energy, higher index
+    coeffs[3, 10] = 2.0   # shard 1, equal energy, higher index
+    got = np.asarray(shard_map(
+        lambda blk: distributed_top_indices(blk, 3, Ordering.ENERGY, h, w),
+        mesh=spatial_mesh,
+        in_specs=P(None, SPATIAL_AXIS),
+        out_specs=P(None),
+    )(jnp.asarray(coeffs)))
+    np.testing.assert_array_equal(got, [5, 60, 3 * 64 + 10])
+
+
+def test_spatial_embed_matches_single_device(spatial_mesh, cat_image):
+    # Crop the cat image to divisible dims; TP embed must equal the
+    # single-device pipeline bit-for-bit after quantization.
+    img = cat_image[:440, :640]
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(0), 500))
+    want = np.asarray(wm.embed(jnp.asarray(img), jnp.asarray(mark)))
+    got = np.asarray(pipeline_sharded.embed_spatial(
+        jnp.asarray(img), jnp.asarray(mark), spatial_mesh))
+    diff = np.abs(want.astype(int) - got.astype(int))
+    # f32 reduction orders differ between the sharded and single-device DCT;
+    # allow <=1 quantization step on a tiny fraction of pixels.
+    assert (diff > 1).mean() == 0.0
+    assert (diff > 0).mean() < 0.02, (diff > 0).mean()
+
+
+def test_spatial_extract_roundtrip(spatial_mesh, cat_image):
+    img = cat_image[:440, :640]
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(1), 500))
+    marked = pipeline_sharded.embed_spatial(
+        jnp.asarray(img), jnp.asarray(mark), spatial_mesh)
+    ext = np.asarray(pipeline_sharded.extract_spatial(
+        jnp.asarray(img), marked, 500, spatial_mesh))
+    sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(mark[None])))[0]
+    assert sim > 18.0, sim
+
+
+def test_spatial_multimark(spatial_mesh, cat_image):
+    img = cat_image[:440, :640]
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(2), 500, count=4))
+    marked = pipeline_sharded.embed_spatial(
+        jnp.asarray(img), jnp.asarray(marks), spatial_mesh)
+    ext = np.asarray(pipeline_sharded.extract_spatial(
+        jnp.asarray(img), marked, 500, spatial_mesh))
+    sims = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(marks)))
+    assert sims.min() > 5.0, sims
+
+
+def test_batch_sharded_matches_single(data_mesh, cat_image):
+    imgs = np.stack([cat_image] * 8)
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(3), 300, count=8))
+    got = np.asarray(pipeline_sharded.embed_batch_sharded(
+        jnp.asarray(imgs), jnp.asarray(marks[:, None, :]), data_mesh))
+    want = np.asarray(wm.embed(jnp.asarray(imgs), jnp.asarray(marks[:, None, :])))
+    np.testing.assert_array_equal(got, want)
+    ext = np.asarray(pipeline_sharded.extract_batch_sharded(
+        jnp.asarray(imgs), jnp.asarray(got), 300, data_mesh))
+    sims = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(marks)))
+    assert np.diagonal(sims).min() > 15.0
