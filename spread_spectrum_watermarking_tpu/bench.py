@@ -5,12 +5,17 @@ default device (one TPU chip under the driver). The reference publishes no
 throughput numbers (SURVEY.md section 6); the target is BASELINE.json's
 north star: >= 1000 1080p embeds/sec/chip.
 
-Prints one JSON line per metric; the repo-root ``bench.py`` wraps this and
-prints the single headline line the driver records.
+Methodology: the iteration loop runs INSIDE one jitted ``lax.scan`` whose
+carry chains each iteration's output into the next iteration's input, and the
+measurement ends with a host fetch of a carry-dependent scalar. This makes
+the timing robust against async dispatch, result caching, and RPC-tunnel
+acknowledgment semantics: the device provably executed every iteration
+sequentially before the scalar arrives.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from typing import Tuple
@@ -18,7 +23,6 @@ from typing import Tuple
 import numpy as np
 
 from .config import Precision, ReadConfig, WriteConfig
-
 
 _SIZES = {
     "1080p": (1080, 1920),
@@ -35,15 +39,30 @@ def parse_size(size: str) -> Tuple[int, int]:
     return int(h), int(w)
 
 
-def _time_fn(fn, iters: int) -> float:
-    import jax
+def _timed_scan(step_fn, carry, iters: int) -> float:
+    """Time ``iters`` chained executions of step_fn inside one XLA program.
 
-    fn()  # warmup / compile
-    jax.block_until_ready(fn())
+    ``step_fn(carry) -> carry`` must thread a data dependency through the
+    carry. Returns seconds per iteration.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(c, n):
+        def body(c, _):
+            return step_fn(c), None
+
+        c, _ = jax.lax.scan(body, c, None, length=n)
+        return c
+
+    def fetch(c):
+        leaf = jax.tree_util.tree_leaves(c)[0]
+        return float(jnp.sum(leaf[..., 0].astype(jnp.float32)))
+
+    fetch(loop(carry, iters))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+    fetch(loop(carry, iters))
     return (time.perf_counter() - t0) / iters
 
 
@@ -53,7 +72,7 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
     import jax
     import jax.numpy as jnp
 
-    from . import embed, extract_prepared, generate_normal, prepare_base, prepare_derived
+    from .models import pipeline
 
     h, w = parse_size(size)
     prec = Precision(precision)
@@ -62,19 +81,26 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8))
-    marks = generate_normal(jax.random.PRNGKey(0), length, count=batch)[:, None, :]
-    marks = jax.block_until_ready(marks)
+    marks = jnp.asarray(
+        rng.standard_normal((batch, 1, length)).astype(np.float32))
 
-    t_embed = _time_fn(lambda: embed(images, marks, wcfg), iters)
+    # --- embed: chain watermarked u8 output back in as the next input ---
+    t_embed = _timed_scan(
+        lambda imgs: pipeline.embed(imgs, marks, wcfg), images, iters)
 
-    marked = jax.block_until_ready(embed(images, marks, wcfg))
+    marked = pipeline.embed(images, marks, wcfg)
 
-    def do_extract():
-        flat, idx = prepare_base(images, length, rcfg)
-        dflat = prepare_derived(marked, rcfg)
-        return extract_prepared(flat, idx, dflat, rcfg)
+    # --- extract (full read path): chain via a value-preserving f32 nudge of
+    # the derived images derived from the previous extraction ---
+    marked_f32 = marked.astype(jnp.float32) / 255.0
 
-    t_extract = _time_fn(do_extract, iters)
+    def extract_step(derived):
+        ext = pipeline.extract(images, derived, length, rcfg)
+        # ext is ~O(1); 1e-30 * ext[0,0] preserves the f32 image bit-exactly
+        # while making the next iteration data-dependent on this one.
+        return derived + ext[0, 0] * 1e-30
+
+    t_extract = _timed_scan(extract_step, marked_f32, iters)
 
     embeds_per_sec = batch / t_embed
     extracts_per_sec = batch / t_extract
@@ -106,14 +132,17 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
 def run_similarity_sweep_bench(n_extracted: int = 1024, n_marks: int = 10000,
                                length: int = 1000, iters: int = 10) -> dict:
     """The 10k-watermark similarity sweep (BASELINE.json config 4): one matmul."""
-    import jax
     import jax.numpy as jnp
 
-    from . import similarity
+    from .ops import modulation
 
     rng = np.random.default_rng(1)
     ext = jnp.asarray(rng.standard_normal((n_extracted, length)), dtype=jnp.float32)
     marks = jnp.asarray(rng.standard_normal((n_marks, length)), dtype=jnp.float32)
-    t = _time_fn(lambda: similarity(ext, marks), iters)
-    pairs_per_sec = n_extracted * n_marks / t
-    return {"similarity_pairs_per_sec": pairs_per_sec, "seconds": t}
+
+    def step(e):
+        sims = modulation.similarity(e, marks)
+        return e + sims[0, 0] * 1e-30
+
+    t = _timed_scan(step, ext, iters)
+    return {"similarity_pairs_per_sec": n_extracted * n_marks / t, "seconds": t}
