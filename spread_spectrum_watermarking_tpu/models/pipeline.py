@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import ReadConfig, WriteConfig
+from ..config import ReadConfig, WriteConfig, jax_precision
 from ..ops import colorspace, dct, modulation, ranking
 
 
@@ -38,6 +38,44 @@ def _forward(rgb: jax.Array, precision) -> Tuple[jax.Array, jax.Array]:
     return coeffs, yiq[..., 1:]
 
 
+def _sparse_idct_delta(
+    delta: jax.Array,
+    idx: jax.Array,
+    h: int,
+    w: int,
+    precision,
+) -> jax.Array:
+    """Inverse-DCT of a sparse coefficient update, as a skinny matmul.
+
+    The embedding touches only the top-n coefficients, so instead of a full
+    inverse transform of the modified plane (2 dense W*H matmuls, the
+    reference's Writer::result path at src/algorithm.rs:361-374) we invert
+    just the delta:
+
+        dY = (4/(W*H)) * D_h[:, rows] @ diag(delta) @ D_w[:, cols]^T
+
+    an (H, n) @ (n, W) matmul -- ~3x fewer FLOPs at n=1000/1080p, and MORE
+    accurate than the reference's round trip because unmodified pixels never
+    pass through DCT->IDCT at all.
+
+    ``delta``: (B, n) coefficient changes; ``idx``: (B, n) flat indices.
+    Returns (B, H, W) luma deltas.
+    """
+    dh = jnp.asarray(dct.dct3_basis(h))  # (H, H): dh[k, m]
+    dw = jnp.asarray(dct.dct3_basis(w))
+    p = jax_precision(precision)
+    rows = idx // w
+    cols = idx % w
+    # jnp.take with batched indices gives (H, B, n); normalize to (B, H, n).
+    a = jnp.take(dh, rows, axis=1)  # D_h columns at each row index
+    a = jnp.moveaxis(a, 0, 1) if a.ndim == 3 else a
+    b = jnp.take(dw, cols, axis=1)
+    b = jnp.moveaxis(b, 0, 1) if b.ndim == 3 else b
+    scaled = a * delta[..., None, :]  # (B, H, n) * (B, 1, n)
+    out = jnp.einsum("...hn,...wn->...hw", scaled, b, precision=p)
+    return out * (4.0 / (w * h))
+
+
 def _batched_gather(flat: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(flat, idx, axis=-1)
 
@@ -51,12 +89,13 @@ def _batched_scatter(flat: jax.Array, idx: jax.Array, values: jax.Array) -> jax.
     return flat.at[rows, idx].set(values, mode="promise_in_bounds")
 
 
-@functools.partial(jax.jit, static_argnames=("config", "quantize"))
+@functools.partial(jax.jit, static_argnames=("config", "quantize", "sparse_idct"))
 def embed(
     rgb: jax.Array,
     marks: jax.Array,
     config: WriteConfig = WriteConfig(),
     quantize: bool = True,
+    sparse_idct: bool = True,
 ) -> jax.Array:
     """Embed watermark(s) into a batch of images.
 
@@ -69,6 +108,9 @@ def embed(
         src/algorithm.rs:99-112).
       quantize: if True, return uint8 (the reference's ``into_rgb8`` path);
         else float32 RGB.
+      sparse_idct: invert only the n modified coefficients via the skinny
+        matmul (default, faster and more accurate); False forces the
+        reference-style full inverse transform of the modified plane.
 
     Returns: watermarked images, same leading shape as ``rgb``.
     """
@@ -79,7 +121,9 @@ def embed(
         marks = marks[None]
     n = marks.shape[-1]
 
-    coeffs, iq = _forward(rgb, config.precision)
+    yiq = colorspace.rgb_to_yiq(_to_f32(rgb))
+    y_in = yiq[..., 0]
+    coeffs = dct.dct2_2d(y_in, precision=config.precision)
     h, w = coeffs.shape[-2], coeffs.shape[-1]
     idx = ranking.top_indices(coeffs, n, config.ordering)
 
@@ -91,10 +135,15 @@ def embed(
         original, marks, config.insertion.method, config.insertion.alpha,
         custom_insert=config.custom_insert, indices=idx,
     )
-    flat = _batched_scatter(flat, idx, new_values)
 
-    y = dct.idct2_2d(flat.reshape(-1, h, w), precision=config.precision)
-    out = colorspace.yiq_to_rgb(jnp.concatenate([y[..., None], iq], axis=-1))
+    if sparse_idct:
+        y = y_in + _sparse_idct_delta(
+            new_values - original, idx, h, w, config.precision)
+    else:
+        flat = _batched_scatter(flat, idx, new_values)
+        y = dct.idct2_2d(flat.reshape(-1, h, w), precision=config.precision)
+    out = colorspace.yiq_to_rgb(
+        jnp.concatenate([y[..., None], yiq[..., 1:]], axis=-1))
     if quantize:
         out = colorspace.f32_to_u8(out)
     if single_image:

@@ -58,7 +58,12 @@ def test_batch_matches_single(cat_image):
     out_b = np.asarray(wm.embed(jnp.asarray(batch), jnp.asarray(marks[:, None, :])))
     for i in range(3):
         out_i = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(marks[i])))
-        np.testing.assert_array_equal(out_b[i], out_i)
+        # Matmul tiling differs with batch size, so f32 reduction order can
+        # flip isolated values at a u8 rounding boundary; allow <=1 step on a
+        # vanishing fraction of pixels.
+        diff = np.abs(out_b[i].astype(int) - out_i.astype(int))
+        assert diff.max() <= 1, diff.max()
+        assert (diff > 0).mean() < 1e-4, (diff > 0).mean()
 
 
 def test_multimark_interference(cat_image):
