@@ -27,15 +27,15 @@ def _to_f32(rgb: jax.Array) -> jax.Array:
     return rgb.astype(jnp.float32)
 
 
-def _forward(rgb: jax.Array, precision) -> Tuple[jax.Array, jax.Array]:
-    """RGB (..., H, W, 3) -> (Y-channel DCT coefficients (..., H, W), IQ planes).
+def _forward(rgb: jax.Array, precision) -> jax.Array:
+    """RGB (..., H, W, 3) -> Y-channel DCT coefficients (..., H, W).
 
     The shared prologue of Writer and Reader (reference:
-    src/algorithm.rs:308-313, 476-480).
+    src/algorithm.rs:308-313, 476-480). Only the luma plane is ever
+    transformed, so I/Q are never computed here.
     """
-    yiq = colorspace.rgb_to_yiq(_to_f32(rgb))
-    coeffs = dct.dct2_2d(yiq[..., 0], precision=precision)
-    return coeffs, yiq[..., 1:]
+    return dct.dct2_2d(
+        colorspace.rgb_to_luma(_to_f32(rgb)), precision=precision)
 
 
 def _sparse_idct_delta(
@@ -121,8 +121,8 @@ def embed(
         marks = marks[None]
     n = marks.shape[-1]
 
-    yiq = colorspace.rgb_to_yiq(_to_f32(rgb))
-    y_in = yiq[..., 0]
+    rgbf = _to_f32(rgb)
+    y_in = colorspace.rgb_to_luma(rgbf)
     coeffs = dct.dct2_2d(y_in, precision=config.precision)
     h, w = coeffs.shape[-2], coeffs.shape[-1]
     idx = ranking.top_indices(coeffs, n, config.ordering)
@@ -137,13 +137,19 @@ def embed(
     )
 
     if sparse_idct:
-        y = y_in + _sparse_idct_delta(
+        # Only Y changes, and the Y column of YIQ_TO_RGB is exactly
+        # [1, 1, 1] (R = Y + ..i.. + ..q.., reference src/yiq.rs:161-165),
+        # so RGB' = clamp(RGB + dY) -- the I/Q planes and the output 3x3
+        # conversion drop out of the computation entirely.
+        dy = _sparse_idct_delta(
             new_values - original, idx, h, w, config.precision)
+        out = jnp.clip(rgbf + dy[..., None], 0.0, 1.0)
     else:
+        yiq = colorspace.rgb_to_yiq(rgbf)
         flat = _batched_scatter(flat, idx, new_values)
         y = dct.idct2_2d(flat.reshape(-1, h, w), precision=config.precision)
-    out = colorspace.yiq_to_rgb(
-        jnp.concatenate([y[..., None], yiq[..., 1:]], axis=-1))
+        out = colorspace.yiq_to_rgb(
+            jnp.concatenate([y[..., None], yiq[..., 1:]], axis=-1))
     if quantize:
         out = colorspace.f32_to_u8(out)
     if single_image:
@@ -167,7 +173,7 @@ def prepare_base(
     single_image = rgb.ndim == 3
     if single_image:
         rgb = rgb[None]
-    coeffs, _ = _forward(rgb, config.precision)
+    coeffs = _forward(rgb, config.precision)
     idx = ranking.top_indices(coeffs, n, config.ordering)
     flat = coeffs.reshape(coeffs.shape[0], -1)
     if single_image:
@@ -188,7 +194,7 @@ def prepare_derived(
     single_image = rgb.ndim == 3
     if single_image:
         rgb = rgb[None]
-    coeffs, _ = _forward(rgb, config.precision)
+    coeffs = _forward(rgb, config.precision)
     flat = coeffs.reshape(coeffs.shape[0], -1)
     return flat[0] if single_image else flat
 

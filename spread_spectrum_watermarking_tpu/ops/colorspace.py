@@ -61,6 +61,18 @@ def rgb_to_yiq(rgb: jax.Array) -> jax.Array:
     return jnp.stack([y, i, q], axis=-1)
 
 
+def rgb_to_luma(rgb: jax.Array) -> jax.Array:
+    """Just the Y (luma) plane of :func:`rgb_to_yiq`: (..., 3) -> (...).
+
+    The watermarking transform only ever reads Y (reference:
+    src/algorithm.rs:330-342 operates on ``yiq.y``); computing it directly
+    avoids materializing the I/Q planes on the embed/extract hot path.
+    """
+    m = jnp.asarray(RGB_TO_YIQ)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    return (m[0, 0] * r + m[0, 1] * g) + m[0, 2] * b
+
+
 def yiq_to_rgb(yiq: jax.Array) -> jax.Array:
     """Convert (..., 3) YIQ to RGB, clamping each channel to [0, 1].
 

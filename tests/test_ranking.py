@@ -78,3 +78,35 @@ def test_energy_orthogonal_changes_selection():
         ranking.top_indices(jnp.asarray(coeffs), 1, Ordering.ENERGY_ORTHOGONAL))
     assert idx_e[0] == 2          # raw energy picks the 10
     assert idx_o[0] == 2 * 6 + 3  # ortho rescale favors the interior 9
+
+
+def test_tiled_fast_top_k_matches_exact():
+    # The tiled hierarchical fast path must agree with exact lax.top_k,
+    # including clustered energies (like real DCT spectra) and exact ties.
+    rng = np.random.default_rng(3)
+    n = 500
+    flat = (rng.standard_normal((4, 80000)).astype(np.float32) ** 2) * \
+        np.exp(rng.standard_normal((4, 80000)).astype(np.float32) * 4)
+    flat[:, :2000] *= 1e4       # clustered strong region
+    flat[0, 5000:5040] = flat[0, 50]  # cross-tile ties
+    flat[1, ::97] = 1234.5
+    flat[2, 60000:60100] = 0.0
+    coeffs = jnp.asarray(flat.reshape(4, 200, 400))
+    got = np.asarray(ranking.top_indices(coeffs, n, Ordering.ENERGY))
+    want = np.asarray(
+        ranking.top_indices(coeffs, n, Ordering.ENERGY, exact_only=True))
+    np.testing.assert_array_equal(got, want)
+    # ensure the fast path was actually eligible (size >= 4*n*tile)
+    assert 80000 >= 4 * n * 32
+
+
+def test_verified_fast_top_k_on_dct_like_input(cat_image):
+    import jax
+    from spread_spectrum_watermarking_tpu.ops import colorspace, dct
+
+    y = colorspace.rgb_to_luma(jnp.asarray(cat_image, jnp.float32) / 255.0)
+    coeffs = dct.dct2_2d(y)
+    idx_fast = np.asarray(ranking.top_indices(coeffs, 1000, Ordering.ENERGY))
+    idx_exact = np.asarray(
+        ranking.top_indices(coeffs, 1000, Ordering.ENERGY, exact_only=True))
+    np.testing.assert_array_equal(idx_fast, idx_exact)
