@@ -68,11 +68,19 @@ def _timed_scan(step_fn, carry, iters: int) -> float:
 
 def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
               iters: int = 10, precision: str = "high",
-              quiet: bool = False) -> dict:
+              quiet: bool = False, profile_dir: str | None = None) -> dict:
+    """Measure embed/extract throughput; optionally write a ``jax.profiler``
+    trace (viewable in TensorBoard/XProf -- the pipeline stages carry
+    ``ssw.forward`` / ``ssw.rank`` / ``ssw.inverse`` annotations)."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
     from .models import pipeline
+
+    profile_cm = (jax.profiler.trace(profile_dir) if profile_dir
+                  else contextlib.nullcontext())
 
     h, w = parse_size(size)
     prec = Precision(precision)
@@ -85,22 +93,23 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
         rng.standard_normal((batch, 1, length)).astype(np.float32))
 
     # --- embed: chain watermarked u8 output back in as the next input ---
-    t_embed = _timed_scan(
-        lambda imgs: pipeline.embed(imgs, marks, wcfg), images, iters)
+    with profile_cm:
+        t_embed = _timed_scan(
+            lambda imgs: pipeline.embed(imgs, marks, wcfg), images, iters)
 
-    marked = pipeline.embed(images, marks, wcfg)
+        marked = pipeline.embed(images, marks, wcfg)
 
-    # --- extract (full read path): chain via a value-preserving f32 nudge of
-    # the derived images derived from the previous extraction ---
-    marked_f32 = marked.astype(jnp.float32) / 255.0
+        # --- extract (full read path): chain via a value-preserving f32
+        # nudge of the derived images derived from the previous extraction ---
+        marked_f32 = marked.astype(jnp.float32) / 255.0
 
-    def extract_step(derived):
-        ext = pipeline.extract(images, derived, length, rcfg)
-        # ext is ~O(1); 1e-30 * ext[0,0] preserves the f32 image bit-exactly
-        # while making the next iteration data-dependent on this one.
-        return derived + ext[0, 0] * 1e-30
+        def extract_step(derived):
+            ext = pipeline.extract(images, derived, length, rcfg)
+            # ext is ~O(1); 1e-30 * ext[0,0] preserves the f32 image
+            # bit-exactly while making the next iteration data-dependent.
+            return derived + ext[0, 0] * 1e-30
 
-    t_extract = _timed_scan(extract_step, marked_f32, iters)
+        t_extract = _timed_scan(extract_step, marked_f32, iters)
 
     embeds_per_sec = batch / t_embed
     extracts_per_sec = batch / t_extract

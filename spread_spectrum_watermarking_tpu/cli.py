@@ -199,7 +199,7 @@ def cmd_bench(args) -> int:
     from .bench import run_bench
 
     run_bench(batch=args.batch, size=args.size, length=args.length,
-              iters=args.iters)
+              iters=args.iters, profile_dir=args.profile_dir)
     return 0
 
 
@@ -241,6 +241,8 @@ def main(argv=None) -> int:
                          help="HxW (e.g. 1080x1920) or 1080p/4k/cat")
     p_bench.add_argument("--length", type=int, default=1000)
     p_bench.add_argument("--iters", type=int, default=10)
+    p_bench.add_argument("--profile-dir", default=None,
+                         help="Write a jax.profiler trace here (TensorBoard).")
 
     args = parser.parse_args(argv)
     if args.command == "watermark":

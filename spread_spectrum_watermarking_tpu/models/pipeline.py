@@ -121,11 +121,13 @@ def embed(
         marks = marks[None]
     n = marks.shape[-1]
 
-    rgbf = _to_f32(rgb)
-    y_in = colorspace.rgb_to_luma(rgbf)
-    coeffs = dct.dct2_2d(y_in, precision=config.precision)
+    with jax.named_scope("ssw.forward"):
+        rgbf = _to_f32(rgb)
+        y_in = colorspace.rgb_to_luma(rgbf)
+        coeffs = dct.dct2_2d(y_in, precision=config.precision)
     h, w = coeffs.shape[-2], coeffs.shape[-1]
-    idx = ranking.top_indices(coeffs, n, config.ordering)
+    with jax.named_scope("ssw.rank"):
+        idx = ranking.top_indices(coeffs, n, config.ordering)
 
     flat = coeffs.reshape(coeffs.shape[0], -1)
     original = _batched_gather(flat, idx)
@@ -141,9 +143,10 @@ def embed(
         # [1, 1, 1] (R = Y + ..i.. + ..q.., reference src/yiq.rs:161-165),
         # so RGB' = clamp(RGB + dY) -- the I/Q planes and the output 3x3
         # conversion drop out of the computation entirely.
-        dy = _sparse_idct_delta(
-            new_values - original, idx, h, w, config.precision)
-        out = jnp.clip(rgbf + dy[..., None], 0.0, 1.0)
+        with jax.named_scope("ssw.inverse"):
+            dy = _sparse_idct_delta(
+                new_values - original, idx, h, w, config.precision)
+            out = jnp.clip(rgbf + dy[..., None], 0.0, 1.0)
     else:
         yiq = colorspace.rgb_to_yiq(rgbf)
         flat = _batched_scatter(flat, idx, new_values)

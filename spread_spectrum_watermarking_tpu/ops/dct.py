@@ -70,11 +70,51 @@ def dct3_basis(n: int) -> np.ndarray:
     return d.astype(np.float32)
 
 
+def _fold_pass_rows(x: jax.Array, c_full: jax.Array, p) -> jax.Array:
+    """One DCT-II pass contracting the -2 axis, with even/odd folding.
+
+    Uses the cosine symmetry ``C[k, N-1-m] = (-1)^k C[k, m]``: even output
+    rows contract ``x[m] + x[N-1-m]``, odd rows ``x[m] - x[N-1-m]``, so each
+    matmul is (N/2 x N/2) -- half the FLOPs of the dense form. The fold adds
+    one fused elementwise pass; the interleave is a free reshape of the
+    stacked halves.
+    """
+    n = x.shape[-2]
+    half = n // 2
+    a = x[..., :half, :]
+    b = jnp.flip(x[..., half:, :], axis=-2)
+    s = a + b
+    d = a - b
+    ce = c_full[0::2, :half]
+    co = c_full[1::2, :half]
+    te = jnp.einsum("km,...mw->...kw", ce, s, precision=p)
+    to = jnp.einsum("km,...mw->...kw", co, d, precision=p)
+    # rows 2q <- te[q], rows 2q+1 <- to[q]
+    return jnp.stack([te, to], axis=-2).reshape(*x.shape[:-2], n, x.shape[-1])
+
+
+def _fold_pass_cols(x: jax.Array, c_full: jax.Array, p) -> jax.Array:
+    """Same folded DCT-II pass as :func:`_fold_pass_rows`, contracting the
+    last axis (no physical transpose needed)."""
+    n = x.shape[-1]
+    half = n // 2
+    a = x[..., :half]
+    b = jnp.flip(x[..., half:], axis=-1)
+    s = a + b
+    d = a - b
+    ce = c_full[0::2, :half]
+    co = c_full[1::2, :half]
+    ue = jnp.einsum("...kw,lw->...kl", s, ce, precision=p)
+    uo = jnp.einsum("...kw,lw->...kl", d, co, precision=p)
+    return jnp.stack([ue, uo], axis=-1).reshape(*x.shape[:-1], n)
+
+
 def dct2_2d(
     x: jax.Array,
     *,
     ortho: bool = False,
     precision: Precision = Precision.HIGHEST,
+    fold: bool = False,
 ) -> jax.Array:
     """2-D DCT-II over the last two axes (..., H, W), scipy scaling.
 
@@ -82,32 +122,77 @@ def dct2_2d(
     (src/dct2d.rs:83-219) but batched: leading axes are vmapped for free by
     the contraction. Row/col pass order is float-irrelevant in matmul form
     (the reference orders larger-dim-first only for scratch reuse,
-    src/dct2d.rs:93-98).
+    src/dct2d.rs:93-98). ``fold`` halves the matmul FLOPs for even
+    dimensions via basis symmetry (see :func:`_fold_pass_rows`) but is OFF by
+    default: measured on TPU v5e at 1080p, the fold's lane-reversal and
+    interleave relayouts cost more than the saved FLOPs (911 vs 1279
+    embeds/s). It may win for much larger planes where matmuls dominate.
     """
     h, w = x.shape[-2], x.shape[-1]
     ch = jnp.asarray(dct2_basis(h, ortho))
     cw = jnp.asarray(dct2_basis(w, ortho))
     p = jax_precision(precision)
+    if fold and h % 2 == 0 and w % 2 == 0 and min(h, w) >= 64:
+        t = _fold_pass_rows(x, ch, p)
+        return _fold_pass_cols(t, cw, p)
     # Column pass: C_h @ X ; row pass: (.) @ C_w^T.
     t = jnp.einsum("km,...mw->...kw", ch, x, precision=p)
     return jnp.einsum("...kw,lw->...kl", t, cw, precision=p)
+
+
+def _ifold_pass_rows(x: jax.Array, d_full: jax.Array, p) -> jax.Array:
+    """Folded DCT-III pass over the -2 axis.
+
+    Symmetry ``D[N-1-k, m] = (-1)^m D[k, m]``: the top half of the output is
+    E + O and the bottom half the reversed E - O, where E/O contract the
+    even/odd input rows -- half the FLOPs of the dense pass.
+    """
+    n = x.shape[-2]
+    half = n // 2
+    xe = x[..., 0::2, :]
+    xo = x[..., 1::2, :]
+    de = d_full[:half, 0::2]
+    do = d_full[:half, 1::2]
+    e = jnp.einsum("km,...mw->...kw", de, xe, precision=p)
+    o = jnp.einsum("km,...mw->...kw", do, xo, precision=p)
+    return jnp.concatenate([e + o, jnp.flip(e - o, axis=-2)], axis=-2)
+
+
+def _ifold_pass_cols(x: jax.Array, d_full: jax.Array, p) -> jax.Array:
+    """Folded DCT-III pass over the last axis."""
+    n = x.shape[-1]
+    half = n // 2
+    xe = x[..., 0::2]
+    xo = x[..., 1::2]
+    de = d_full[:half, 0::2]
+    do = d_full[:half, 1::2]
+    e = jnp.einsum("...kw,lw->...kl", xe, de, precision=p)
+    o = jnp.einsum("...kw,lw->...kl", xo, do, precision=p)
+    return jnp.concatenate([e + o, jnp.flip(e - o, axis=-1)], axis=-1)
 
 
 def idct2_2d(
     x: jax.Array,
     *,
     precision: Precision = Precision.HIGHEST,
+    fold: bool = False,
 ) -> jax.Array:
     """Inverse of :func:`dct2_2d` (non-ortho): DCT-III passes + 4/(W*H).
 
     Matches the reference's ``dct2_2d(Type::DCT3)`` net scaling
     (src/dct2d.rs:109,213-218): per-pass 0.5 is folded into the basis, the
-    global ``4/(W*H)`` is applied at the end.
+    global ``4/(W*H)`` is applied at the end. ``fold`` as in
+    :func:`dct2_2d` (off by default -- relayout cost exceeds FLOP savings at
+    1080p on v5e).
     """
     h, w = x.shape[-2], x.shape[-1]
     dh = jnp.asarray(dct3_basis(h))
     dw = jnp.asarray(dct3_basis(w))
     p = jax_precision(precision)
-    t = jnp.einsum("km,...mw->...kw", dh, x, precision=p)
-    y = jnp.einsum("...kw,lw->...kl", t, dw, precision=p)
+    if fold and h % 2 == 0 and w % 2 == 0 and min(h, w) >= 64:
+        t = _ifold_pass_rows(x, dh, p)
+        y = _ifold_pass_cols(t, dw, p)
+    else:
+        t = jnp.einsum("km,...mw->...kw", dh, x, precision=p)
+        y = jnp.einsum("...kw,lw->...kl", t, dw, precision=p)
     return y * (4.0 / (w * h))

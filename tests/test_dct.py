@@ -91,3 +91,15 @@ def test_precision_modes_close():
     mid = np.asarray(dct.dct2_2d(jnp.asarray(x), precision=Precision.HIGH))
     scale = np.abs(hi).max()
     assert np.abs(hi - mid).max() / scale < 1e-5
+
+
+def test_folded_matches_dense():
+    # The fold option (basis-symmetry FLOP halving) must agree with the dense
+    # matmul form to f32 reassociation tolerance, forward and inverse.
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 64, 128)).astype(np.float32))
+    a = np.asarray(dct.dct2_2d(x, fold=True))
+    b = np.asarray(dct.dct2_2d(x, fold=False))
+    np.testing.assert_allclose(a, b, rtol=0, atol=np.abs(b).max() * 1e-5)
+    ia = np.asarray(dct.idct2_2d(jnp.asarray(a), fold=True))
+    np.testing.assert_allclose(ia, np.asarray(x), rtol=0, atol=1e-4)
