@@ -224,15 +224,47 @@ def extract_prepared(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config", "n"))
+def _extract_fused(
+    base: jax.Array,
+    derived: jax.Array,
+    n: int,
+    config: ReadConfig,
+) -> jax.Array:
+    """Fused read path: full transform of base, sparse transform of derived.
+
+    The base image needs its full coefficient plane (the ranking metric reads
+    every coefficient), but the derived image's coefficients are only ever
+    read at the base's n ranked indices (reference: src/algorithm.rs:556-561),
+    so its transform runs through :func:`..ops.dct.dct2_coeffs_at` -- one
+    1-D pass plus a gather-dot instead of a second full pass.
+    """
+    coeffs = _forward(base, config.precision)
+    idx = ranking.top_indices(coeffs, n, config.ordering)
+    flat = coeffs.reshape(coeffs.shape[0], -1)
+    base_vals = _batched_gather(flat, idx)
+    yd = colorspace.rgb_to_luma(_to_f32(derived))
+    derived_vals = dct.dct2_coeffs_at(yd, idx, precision=config.precision)
+    if config.custom_extract is not None:
+        return config.custom_extract(idx, base_vals, derived_vals)
+    return modulation.extract_values(
+        config.extraction.method, config.extraction.alpha, base_vals, derived_vals
+    )
+
+
 def extract(
     base: jax.Array,
     derived: jax.Array,
     n: int,
     config: ReadConfig = ReadConfig(),
+    sparse_derived: bool = True,
 ) -> jax.Array:
     """Extract length-``n`` watermark(s): full read path, batched.
 
     ``base`` and ``derived`` are ``(B, H, W, 3)`` or ``(H, W, 3)`` images.
+    ``sparse_derived`` (default) computes the derived image's coefficients
+    only at the n ranked indices (~1.4x faster read path at 1080p); False
+    forces the reference-style full second transform.
     Raises ValueError on the conditions the reference panics on
     (src/algorithm.rs:550-555): mismatched image sizes, or ``n`` not below
     the coefficient count (the reference's check is ``>=``, off-by-one
@@ -246,6 +278,12 @@ def extract(
     h, w = base.shape[-3], base.shape[-2]
     if n >= h * w:
         raise ValueError("Desired extraction length exceeds available coefficients.")
+    if sparse_derived:
+        single_image = base.ndim == 3
+        if single_image:
+            base, derived = base[None], derived[None]
+        out = _extract_fused(base, derived, n, config)
+        return out[0] if single_image else out
     base_flat, idx = prepare_base(base, n, config)
     derived_flat = prepare_derived(derived, config)
     return extract_prepared(base_flat, idx, derived_flat, config)

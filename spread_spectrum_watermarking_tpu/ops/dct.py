@@ -140,6 +140,56 @@ def dct2_2d(
     return jnp.einsum("...kw,lw->...kl", t, cw, precision=p)
 
 
+def dct2_coeffs_at(
+    y: jax.Array,
+    idx: jax.Array,
+    *,
+    ortho: bool = False,
+    precision: Precision = Precision.HIGHEST,
+) -> jax.Array:
+    """DCT-II coefficients at given flat (row-major) indices only.
+
+    The non-blind read path needs the *derived* image's coefficients solely at
+    the base image's n ranked indices (reference: src/algorithm.rs:543-562
+    reads ``derived_coefficients[index]`` for the first n ranks), so the full
+    second transform pass is wasted work. This computes one full 1-D pass
+    along the cheaper (shorter) axis and contracts the other axis only at the
+    n requested positions via a fused gather-dot:
+
+        coeff[k, l] = C_h[k, :] @ (X @ C_w[l, :]^T)   (per index pair)
+
+    FLOP cost ``min(H, W) / (H + W)`` of the full 2-D transform (~36% at
+    1080p) plus an O(n * max(H, W)) gather-contraction. Numerically identical
+    math to gathering :func:`dct2_2d`'s output (same bases, f32 MXU
+    accumulation); only the contraction tiling may differ in the last ulps.
+
+    Args:
+      y: ``(..., H, W)`` luma plane(s).
+      idx: ``(..., n)`` int32 flat indices (broadcast-compatible batch dims).
+
+    Returns: ``(..., n)`` coefficients.
+    """
+    h, w = y.shape[-2], y.shape[-1]
+    p = jax_precision(precision)
+    rows = idx // w
+    cols = idx % w
+    if h <= w:
+        ch = jnp.asarray(dct2_basis(h, ortho))
+        cw = jnp.asarray(dct2_basis(w, ortho))
+        # Column pass in full: (H, H) @ (..., H, W) -- the cheaper pass.
+        t = jnp.einsum("km,...mw->...kw", ch, y, precision=p)
+        g = jnp.take_along_axis(t, rows[..., :, None], axis=-2)  # (..., n, W)
+        cg = cw[cols]  # (..., n, W)
+        return jnp.einsum("...nw,...nw->...n", g, cg, precision=p)
+    ch = jnp.asarray(dct2_basis(h, ortho))
+    cw = jnp.asarray(dct2_basis(w, ortho))
+    # Row pass in full: (..., H, W) @ (W, W)^T.
+    t = jnp.einsum("...hw,lw->...hl", y, cw, precision=p)
+    g = jnp.take_along_axis(t, cols[..., None, :], axis=-1)  # (..., H, n)
+    cg = ch[rows]  # (..., n, H)
+    return jnp.einsum("...hn,...nh->...n", g, cg, precision=p)
+
+
 def _ifold_pass_rows(x: jax.Array, d_full: jax.Array, p) -> jax.Array:
     """Folded DCT-III pass over the -2 axis.
 

@@ -93,6 +93,30 @@ def test_precision_modes_close():
     assert np.abs(hi - mid).max() / scale < 1e-5
 
 
+@pytest.mark.parametrize("shape", [(5, 4), (4, 5), (8, 8), (48, 64), (64, 48)])
+def test_coeffs_at_matches_full(shape):
+    # Sparse coefficient evaluation (the read path's derived transform) must
+    # equal gathering the full transform, for H<W, H>W, and H==W.
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(shape).astype(np.float32)
+    n = min(10, shape[0] * shape[1])
+    idx = rng.choice(shape[0] * shape[1], size=n, replace=False).astype(np.int32)
+    full = np.asarray(dct.dct2_2d(jnp.asarray(x))).reshape(-1)[idx]
+    sparse = np.asarray(dct.dct2_coeffs_at(jnp.asarray(x), jnp.asarray(idx)))
+    np.testing.assert_allclose(sparse, full, atol=np.abs(full).max() * 1e-5 + 1e-5)
+
+
+def test_coeffs_at_batched():
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((3, 6, 10)).astype(np.float32)
+    idx = np.stack([rng.choice(60, size=7, replace=False) for _ in range(3)]
+                   ).astype(np.int32)
+    full = np.asarray(dct.dct2_2d(jnp.asarray(x))).reshape(3, -1)
+    want = np.take_along_axis(full, idx, axis=-1)
+    got = np.asarray(dct.dct2_coeffs_at(jnp.asarray(x), jnp.asarray(idx)))
+    np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 1e-5 + 1e-5)
+
+
 def test_folded_matches_dense():
     # The fold option (basis-symmetry FLOP halving) must agree with the dense
     # matmul form to f32 reassociation tolerance, forward and inverse.

@@ -136,6 +136,17 @@ def test_custom_insert_extract(cat_image):
     assert sim > 25.0, sim
 
 
+def test_sparse_derived_matches_full_read_path(embedded):
+    # The default read path computes derived coefficients sparsely (one DCT
+    # pass + gather-dot); it must agree with the reference-style full second
+    # transform to f32 reassociation tolerance.
+    cat, mark, marked = embedded
+    fast = np.asarray(wm.extract(jnp.asarray(cat), jnp.asarray(marked), N))
+    full = np.asarray(wm.extract(jnp.asarray(cat), jnp.asarray(marked), N,
+                                 sparse_derived=False))
+    np.testing.assert_allclose(fast, full, atol=1e-4)
+
+
 def test_error_conditions(cat_image):
     with pytest.raises(ValueError, match="not equal"):
         wm.extract(jnp.asarray(cat_image), jnp.asarray(cat_image[:100]), 10)
