@@ -13,7 +13,7 @@ def main() -> int:
     from spread_spectrum_watermarking_tpu.bench import run_bench
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    res = run_bench(batch=batch, size="1080p", length=1000, iters=10,
+    res = run_bench(batch=batch, size="1080p", length=1000, iters=64,
                     precision="high", quiet=True)
     value = res["embed_extract_images_per_sec"]
     print(json.dumps({

@@ -100,16 +100,22 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
         marked = pipeline.embed(images, marks, wcfg)
 
         # --- extract (full read path): chain via a value-preserving f32
-        # nudge of the derived images derived from the previous extraction ---
+        # nudge of the derived images derived from the previous extraction.
+        # Both base and derived thread through the scan carry: closing over
+        # the 190 MB base batch as a program constant measurably slows the
+        # loop (0.83 vs 0.48 ms/img at batch 32) for reasons outside the
+        # pipeline (executable constant staging), so it would pollute the
+        # number. ---
         marked_f32 = marked.astype(jnp.float32) / 255.0
 
-        def extract_step(derived):
-            ext = pipeline.extract(images, derived, length, rcfg)
+        def extract_step(carry):
+            base, derived = carry
+            ext = pipeline.extract(base, derived, length, rcfg)
             # ext is ~O(1); 1e-30 * ext[0,0] preserves the f32 image
             # bit-exactly while making the next iteration data-dependent.
-            return derived + ext[0, 0] * 1e-30
+            return base, derived + ext[0, 0] * 1e-30
 
-        t_extract = _timed_scan(extract_step, marked_f32, iters)
+        t_extract = _timed_scan(extract_step, (images, marked_f32), iters)
 
     embeds_per_sec = batch / t_embed
     extracts_per_sec = batch / t_extract
