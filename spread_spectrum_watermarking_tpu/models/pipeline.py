@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import ReadConfig, WriteConfig, jax_precision
+from ..config import Precision, ReadConfig, WriteConfig, jax_precision
 from ..ops import colorspace, dct, modulation, ranking
 
 
@@ -89,6 +89,100 @@ def _batched_scatter(flat: jax.Array, idx: jax.Array, values: jax.Array) -> jax.
     return flat.at[rows, idx].set(values, mode="promise_in_bounds")
 
 
+def _shorter_axis(h: int, w: int) -> int:
+    """Axis whose 1-D pass is cheaper to run in full: contract the shorter
+    dimension first (mirrors the reference's larger-dim-first scratch-reuse
+    ordering, src/dct2d.rs:93-98, but chosen here to minimize the full-pass
+    FLOPs that the value path shares)."""
+    return -2 if h <= w else -1
+
+
+def _rank_and_values_fast(
+    y: jax.Array,
+    n: int,
+    ordering,
+    precision,
+) -> Tuple[jax.Array, jax.Array]:
+    """Production prologue: ranked indices + exact coefficient values.
+
+    Never materializes the full coefficient plane at working precision.
+    One half-pass ``T`` over the shorter axis runs at the config precision and
+    is shared by both consumers:
+
+      * ranking: the other half-pass runs once in bf16 producing a
+        *metric-only* plane, ranked with :func:`..ops.ranking.approx_top_indices`
+        (TPU PartialReduce) -- the plane's values are never needed;
+      * values: the n coefficients the modulation actually touches
+        (reference: src/algorithm.rs:382-410 writes, :543-562 reads) are
+        finished from ``T`` by a gather-dot at full precision.
+
+    vs the reference's Writer/Reader prologue (full 2-D transform + full
+    comparison sort, src/algorithm.rs:308-342, 200-210): ~2.3x less matmul
+    work and ~3x cheaper ranking at 1080p.
+    """
+    h, w = y.shape[-2], y.shape[-1]
+    ax = _shorter_axis(h, w)
+    t = dct.dct2_pass(y, axis=ax, precision=precision)
+    other = -1 if ax == -2 else -2
+    rank_plane = dct.dct2_pass(
+        t.astype(jnp.bfloat16), axis=other, precision=Precision.DEFAULT)
+    with jax.named_scope("ssw.rank"):
+        idx = ranking.approx_top_indices(rank_plane, n, ordering)
+    vals = dct.dct2_dot_at(t, idx, contracted_axis=ax, precision=precision)
+    return idx, vals
+
+
+def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
+                quantize: bool) -> jax.Array:
+    """Fast embed path (non-HIGHEST precisions): shared half-pass + sparse
+    everything. Same algorithm as :func:`embed`'s reference-exact path; the
+    transform/ranking internals trade exact tie order and ~1.5% of boundary
+    rank selections for ~1.6x throughput (see ``approx_top_indices``).
+    Writer and Reader agree exactly because both derive indices from the base
+    image with the same deterministic code."""
+    n = marks.shape[-1]
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    rgbf = _to_f32(rgb)
+    with jax.named_scope("ssw.forward"):
+        y = colorspace.rgb_to_luma(rgbf)
+        idx, original = _rank_and_values_fast(
+            y, n, config.ordering, config.precision)
+    new_values = modulation.embed_marks(
+        original, marks, config.insertion.method, config.insertion.alpha,
+        custom_insert=config.custom_insert, indices=idx,
+    )
+    with jax.named_scope("ssw.inverse"):
+        # Y is the only modified plane and the Y column of YIQ->RGB is
+        # [1,1,1] (src/yiq.rs:161-165), so RGB' = clamp(RGB + dY).
+        dy = _sparse_idct_delta(
+            new_values - original, idx, h, w, config.precision)
+        out = jnp.clip(rgbf + dy[..., None], 0.0, 1.0)
+    return colorspace.f32_to_u8(out) if quantize else out
+
+
+def _extract_fast(base: jax.Array, derived: jax.Array, n: int,
+                  config: ReadConfig) -> jax.Array:
+    """Fast read path (non-HIGHEST): base prologue shared with
+    :func:`_embed_fast`; the derived image gets one half-pass + gather-dot
+    (its coefficients are only read at the base's n ranked indices,
+    reference src/algorithm.rs:556-561)."""
+    h, w = base.shape[-3], base.shape[-2]
+    ax = _shorter_axis(h, w)
+    with jax.named_scope("ssw.forward"):
+        yb = colorspace.rgb_to_luma(_to_f32(base))
+        idx, base_vals = _rank_and_values_fast(
+            yb, n, config.ordering, config.precision)
+        yd = colorspace.rgb_to_luma(_to_f32(derived))
+        td = dct.dct2_pass(yd, axis=ax, precision=config.precision)
+        derived_vals = dct.dct2_dot_at(
+            td, idx, contracted_axis=ax, precision=config.precision)
+    if config.custom_extract is not None:
+        return config.custom_extract(idx, base_vals, derived_vals)
+    return modulation.extract_values(
+        config.extraction.method, config.extraction.alpha, base_vals,
+        derived_vals)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "quantize", "sparse_idct"))
 def embed(
     rgb: jax.Array,
@@ -120,6 +214,12 @@ def embed(
     if marks.ndim == 1:
         marks = marks[None]
     n = marks.shape[-1]
+
+    if config.precision is not Precision.HIGHEST and sparse_idct:
+        # Production path: shared half-pass, metric-only rank plane,
+        # PartialReduce ranking, all-sparse value/inverse work.
+        out = _embed_fast(rgb, marks, config, quantize)
+        return out[0] if single_image else out
 
     with jax.named_scope("ssw.forward"):
         rgbf = _to_f32(rgb)
@@ -239,6 +339,8 @@ def _extract_fused(
     so its transform runs through :func:`..ops.dct.dct2_coeffs_at` -- one
     1-D pass plus a gather-dot instead of a second full pass.
     """
+    if config.precision is not Precision.HIGHEST:
+        return _extract_fast(base, derived, n, config)
     coeffs = _forward(base, config.precision)
     idx = ranking.top_indices(coeffs, n, config.ordering)
     flat = coeffs.reshape(coeffs.shape[0], -1)

@@ -140,6 +140,71 @@ def dct2_2d(
     return jnp.einsum("...kw,lw->...kl", t, cw, precision=p)
 
 
+def dct2_pass(
+    x: jax.Array,
+    *,
+    axis: int,
+    ortho: bool = False,
+    precision: Precision = Precision.HIGHEST,
+    out_dtype=None,
+) -> jax.Array:
+    """One 1-D DCT-II pass along ``axis`` (-1 or -2), scipy scaling.
+
+    Half of :func:`dct2_2d` -- exposed so pipelines can share a single pass
+    between the ranking transform and the value transform (the reference runs
+    the two passes back-to-back inside ``dct2_2d``, src/dct2d.rs:93-98; here
+    the intermediate is a first-class value). ``out_dtype`` optionally casts
+    the result (e.g. bfloat16 for a ranking-only plane).
+    """
+    n = x.shape[axis]
+    c = jnp.asarray(dct2_basis(n, ortho))
+    p = jax_precision(precision)
+    if x.dtype == jnp.bfloat16:
+        c = c.astype(jnp.bfloat16)
+    if axis in (-2, x.ndim - 2):
+        out = jnp.einsum("km,...mw->...kw", c, x, precision=p,
+                         preferred_element_type=jnp.float32)
+    elif axis in (-1, x.ndim - 1):
+        out = jnp.einsum("...kw,lw->...kl", x, c, precision=p,
+                         preferred_element_type=jnp.float32)
+    else:
+        raise ValueError("axis must be one of the last two axes")
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def dct2_dot_at(
+    t: jax.Array,
+    idx: jax.Array,
+    *,
+    contracted_axis: int,
+    precision: Precision = Precision.HIGHEST,
+) -> jax.Array:
+    """Finish a 2-D DCT at selected flat indices, given one completed pass.
+
+    ``t`` is the intermediate after :func:`dct2_pass` over ``contracted_axis``
+    (-2: rows already transformed, so the remaining contraction runs over W;
+    -1: the mirror). For each flat index ``i = r*W + c`` this computes
+    ``coeff[r, c]`` via a gather + dot against the remaining basis -- the
+    read path only ever needs coefficients at the base image's n ranked
+    indices (reference: src/algorithm.rs:556-561), so the second full pass
+    is wasted work.
+    """
+    h = t.shape[-2]
+    w = t.shape[-1]
+    p = jax_precision(precision)
+    rows = idx // w
+    cols = idx % w
+    if contracted_axis in (-2, t.ndim - 2):
+        # t = C_h @ Y; coeff[r, c] = t[r, :] . C_w[c, :]
+        g = jnp.take_along_axis(t, rows[..., :, None], axis=-2)  # (..., n, W)
+        cg = jnp.asarray(dct2_basis(w))[cols]  # (..., n, W)
+        return jnp.einsum("...nw,...nw->...n", g, cg, precision=p)
+    # t = Y @ C_w^T; coeff[r, c] = C_h[r, :] . t[:, c]
+    g = jnp.take_along_axis(t, cols[..., None, :], axis=-1)  # (..., H, n)
+    cg = jnp.asarray(dct2_basis(h))[rows]  # (..., n, H)
+    return jnp.einsum("...hn,...nh->...n", g, cg, precision=p)
+
+
 def dct2_coeffs_at(
     y: jax.Array,
     idx: jax.Array,
