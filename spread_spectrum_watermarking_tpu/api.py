@@ -60,7 +60,8 @@ class Writer:
         """Rank-ordered flat indices of the N strongest coefficients."""
         import jax.numpy as jnp
         return np.asarray(ranking.top_indices(
-            jnp.asarray(self.coefficients()), n, self._config.ordering))
+            jnp.asarray(self.coefficients()), n, self._config.ordering,
+            custom_metric=self._config.custom_ordering))
 
     def mark(self, marks, quantize: bool = True) -> np.ndarray:
         """Embed mark(s) and return the watermarked image.

@@ -15,6 +15,7 @@ sharded TPU batch) and ``bench`` (throughput harness).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -105,6 +106,15 @@ def cmd_watermark(args) -> int:
     return 0
 
 
+def _jsonl_writer(path):
+    """Open a JSONL sink: '-' for stdout, a path for append, None for no-op."""
+    if path is None:
+        return None
+    if path == "-":
+        return sys.stdout
+    return open(path, "a", encoding="utf-8")
+
+
 def cmd_test(args) -> int:
     import jax.numpy as jnp
 
@@ -112,6 +122,7 @@ def cmd_test(args) -> int:
 
     base = image_io.load_rgb_u8(args.base)
     watermarked = image_io.load_rgb_u8(args.watermarked)
+    jsonl = _jsonl_writer(args.jsonl)
 
     loaded = [(path, storage.load_watermark_file(path))
               for path in args.watermark_files]
@@ -141,6 +152,21 @@ def cmd_test(args) -> int:
             desc = mark.description.replace('"', '\\"')
             print(f'  Description: "{desc}"')
             print(f'  File: "{path}"')
+            if jsonl is not None:
+                # Structured per-mark result (SURVEY.md section 5 metrics plan).
+                json.dump({
+                    "base": str(args.base),
+                    "watermarked": str(args.watermarked),
+                    "watermark_file": str(path),
+                    "description": mark.description,
+                    "length": len(mark.values),
+                    "similarity": sim,
+                    "match_exceed": args.similarity_exceed,
+                    "matches": sim > args.similarity_exceed,
+                }, jsonl)
+                jsonl.write("\n")
+    if jsonl is not None and jsonl is not sys.stdout:
+        jsonl.close()
     return 0
 
 
@@ -164,7 +190,13 @@ def cmd_batch(args) -> int:
     images = image_io.load_batch_u8(paths)
     ie = InsertExtract(alpha=args.alpha, method=_METHOD_CHOICES[args.method])
     wcfg = WriteConfig(insertion=ie, ordering=_ORDERING_CHOICES[args.ordering])
-    key = jax.random.PRNGKey(args.seed if args.seed is not None else 0)
+    # Fresh entropy when unseeded (like cmd_watermark): a fixed default seed
+    # would embed identical marks on every unseeded run -- a watermark-
+    # security footgun.
+    seed = args.seed if args.seed is not None \
+        else int.from_bytes(os.urandom(4), "little")
+    key = jax.random.PRNGKey(seed)
+    jsonl = _jsonl_writer(args.jsonl)
 
     # Group by shape so each group is one batched device program.
     by_shape: dict = {}
@@ -190,8 +222,22 @@ def cmd_batch(args) -> int:
             )
             storage.save_watermark_file(out_dir / (p.stem + "_wm.json"), st)
             count += 1
+            if jsonl is not None:
+                json.dump({
+                    "input": str(p),
+                    "output_image": str(out_img),
+                    "output_watermark": str(out_dir / (p.stem + "_wm.json")),
+                    "shape": list(shape),
+                    "length": args.length,
+                    "alpha": args.alpha,
+                    "method": args.method,
+                    "ordering": args.ordering,
+                }, jsonl)
+                jsonl.write("\n")
     dt = time.perf_counter() - t0
     print(f"embedded {count} images in {dt:.2f}s ({count / dt:.1f} img/s)")
+    if jsonl is not None and jsonl is not sys.stdout:
+        jsonl.close()
     return 0
 
 
@@ -228,12 +274,18 @@ def main(argv=None) -> int:
     p_test.add_argument("watermarked", help="The derived (watermarked) file.")
     p_test.add_argument("watermark_files", nargs="+",
                         help="The watermark files to test from (.json or legacy .wm).")
+    p_test.add_argument("--jsonl", default=None,
+                        help="Append one JSON line per tested mark here ('-' "
+                             "for stdout).")
 
     p_batch = sub.add_parser("batch", help="Watermark a directory of images (batched).")
     p_batch.add_argument("directory")
     p_batch.add_argument("--output-dir", default=None)
     _add_watermark_config_args(p_batch)
     p_batch.add_argument("--seed", type=int, default=None)
+    p_batch.add_argument("--jsonl", default=None,
+                         help="Append one JSON line per embedded image here "
+                              "('-' for stdout).")
 
     p_bench = sub.add_parser("bench", help="Throughput benchmark.")
     p_bench.add_argument("--batch", type=int, default=32)

@@ -83,10 +83,17 @@ class WriteConfig:
     # values, traced into the jitted pipeline. Replaces the reference's
     # ``Insertion::Custom`` boxed closure (src/algorithm.rs:76).
     custom_insert: Optional[Callable] = None
+    # Optional custom ranking metric: callable (flat_indices, values) ->
+    # metric, ranked descending with ties broken toward the lower flat index.
+    # The vectorized-TPU equivalent of the reference's comparator-based
+    # ``OrderingMethod::Custom`` (src/algorithm.rs:150-151): a comparator
+    # cannot be data-parallel, a metric can. Overrides ``ordering`` when set.
+    custom_ordering: Optional[Callable] = None
 
     def __hash__(self):
         return hash((self.insertion, self.ordering, self.precision,
-                     id(self.custom_insert) if self.custom_insert else None))
+                     id(self.custom_insert) if self.custom_insert else None,
+                     id(self.custom_ordering) if self.custom_ordering else None))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,10 +105,15 @@ class ReadConfig:
     precision: Precision = Precision.HIGHEST
     # Optional custom extraction: callable (indices, base, derived) -> mark.
     custom_extract: Optional[Callable] = None
+    # Optional custom ranking metric; see WriteConfig.custom_ordering. The
+    # read path must rank with the same metric the write path used
+    # (reference: src/algorithm.rs:462-498 re-derives the ordering).
+    custom_ordering: Optional[Callable] = None
 
     def __hash__(self):
         return hash((self.extraction, self.ordering, self.precision,
-                     id(self.custom_extract) if self.custom_extract else None))
+                     id(self.custom_extract) if self.custom_extract else None,
+                     id(self.custom_ordering) if self.custom_ordering else None))
 
 
 def jax_precision(p: Precision):

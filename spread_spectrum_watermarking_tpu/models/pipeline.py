@@ -102,6 +102,7 @@ def _rank_and_values_fast(
     n: int,
     ordering,
     precision,
+    custom_metric=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Production prologue: ranked indices + exact coefficient values.
 
@@ -127,7 +128,8 @@ def _rank_and_values_fast(
     rank_plane = dct.dct2_pass(
         t.astype(jnp.bfloat16), axis=other, precision=Precision.DEFAULT)
     with jax.named_scope("ssw.rank"):
-        idx = ranking.approx_top_indices(rank_plane, n, ordering)
+        idx = ranking.approx_top_indices(rank_plane, n, ordering,
+                                         custom_metric=custom_metric)
     vals = dct.dct2_dot_at(t, idx, contracted_axis=ax, precision=precision)
     return idx, vals
 
@@ -146,7 +148,7 @@ def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
     with jax.named_scope("ssw.forward"):
         y = colorspace.rgb_to_luma(rgbf)
         idx, original = _rank_and_values_fast(
-            y, n, config.ordering, config.precision)
+            y, n, config.ordering, config.precision, config.custom_ordering)
     new_values = modulation.embed_marks(
         original, marks, config.insertion.method, config.insertion.alpha,
         custom_insert=config.custom_insert, indices=idx,
@@ -175,7 +177,7 @@ def _extract_fast(base: jax.Array, derived: jax.Array, n: int,
     with jax.named_scope("ssw.forward"):
         yb = colorspace.rgb_to_luma(_to_f32(base))
         idx, base_vals = _rank_and_values_fast(
-            yb, n, config.ordering, config.precision)
+            yb, n, config.ordering, config.precision, config.custom_ordering)
         yd = colorspace.rgb_to_luma(_to_f32(derived))
         td = dct.dct2_pass(yd, axis=ax, precision=config.precision)
         derived_vals = dct.dct2_dot_at(
@@ -231,7 +233,8 @@ def embed(
         coeffs = dct.dct2_2d(y_in, precision=config.precision)
     h, w = coeffs.shape[-2], coeffs.shape[-1]
     with jax.named_scope("ssw.rank"):
-        idx = ranking.top_indices(coeffs, n, config.ordering)
+        idx = ranking.top_indices(coeffs, n, config.ordering,
+                                  custom_metric=config.custom_ordering)
 
     flat = coeffs.reshape(coeffs.shape[0], -1)
     original = _batched_gather(flat, idx)
@@ -281,7 +284,8 @@ def prepare_base(
     if single_image:
         rgb = rgb[None]
     coeffs = _forward(rgb, config.precision)
-    idx = ranking.top_indices(coeffs, n, config.ordering)
+    idx = ranking.top_indices(coeffs, n, config.ordering,
+                              custom_metric=config.custom_ordering)
     flat = coeffs.reshape(coeffs.shape[0], -1)
     if single_image:
         return flat[0], idx[0]
@@ -346,7 +350,8 @@ def _extract_fused(
     if config.precision is not Precision.HIGHEST:
         return _extract_fast(base, derived, n, config)
     coeffs = _forward(base, config.precision)
-    idx = ranking.top_indices(coeffs, n, config.ordering)
+    idx = ranking.top_indices(coeffs, n, config.ordering,
+                              custom_metric=config.custom_ordering)
     flat = coeffs.reshape(coeffs.shape[0], -1)
     base_vals = _batched_gather(flat, idx)
     yd = colorspace.rgb_to_luma(_to_f32(derived))

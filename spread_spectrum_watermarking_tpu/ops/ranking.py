@@ -157,6 +157,7 @@ def approx_top_indices(
     coeffs: jax.Array,
     n: int,
     ordering: Ordering,
+    custom_metric=None,
 ) -> jax.Array:
     """TPU-native approximate top-n: one fused metric + ``approx_max_k``.
 
@@ -175,8 +176,14 @@ def approx_top_indices(
     bucket order rather than ascending flat index, which is why the
     HIGHEST-precision parity path keeps :func:`top_indices` instead.
     """
-    m = ranking_metric(coeffs, ordering)
-    flat = m.reshape(*m.shape[:-2], -1)
+    if custom_metric is not None:
+        size = coeffs.shape[-2] * coeffs.shape[-1]
+        flat_c = coeffs.reshape(*coeffs.shape[:-2], size)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
+        flat = custom_metric(pos, flat_c)
+    else:
+        m = ranking_metric(coeffs, ordering)
+        flat = m.reshape(*m.shape[:-2], -1)
     # bf16 keys halve the PartialReduce stream; ranking tolerates the rounding
     # (it only perturbs the same near-boundary ties recall already covers).
     flat = flat.astype(jnp.bfloat16)
@@ -191,6 +198,7 @@ def top_indices(
     n: int,
     ordering: Ordering,
     exact_only: bool = False,
+    custom_metric=None,
 ) -> jax.Array:
     """Indices (flat, row-major) of the N strongest coefficients, DC excluded.
 
@@ -209,6 +217,17 @@ def top_indices(
     flat_c = coeffs.reshape(*lead, h * w)
     size = h * w
     tile = 32
+    if custom_metric is not None:
+        # Custom metric: materialize the metric plane (the callable is a
+        # black box, so the fused virtual-metric trick doesn't apply), mask
+        # DC, and run the exact (value desc, index asc) selection.
+        pos = jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
+        m = custom_metric(pos, flat_c)
+        neg_inf = jnp.asarray(-jnp.inf, dtype=m.dtype)
+        m = m.at[..., 0].set(neg_inf)
+        if exact_only or size < 4 * n * tile:
+            return jax.lax.top_k(m, n)[1]
+        return _tiled_exact_top_k(m, n, tile)
     if exact_only or size < 4 * n * tile:
         metric = ranking_metric(coeffs, ordering)
         flat = metric.reshape(*lead, -1)

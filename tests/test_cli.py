@@ -105,3 +105,41 @@ def test_batch_subcommand(workdir, capsys):
                    str(workdir / "cat_wm.json")])
     assert rc == 0
     assert "Matches: true" in capsys.readouterr().out
+
+
+def test_batch_unseeded_runs_use_fresh_entropy(workdir, tmp_path_factory):
+    # Two unseeded batch runs must embed DIFFERENT marks (fresh entropy when
+    # --seed is absent; a fixed default would be a watermark-security bug).
+    out1 = tmp_path_factory.mktemp("run1")
+    out2 = tmp_path_factory.mktemp("run2")
+    assert cli.main(["batch", str(workdir), "--output-dir", str(out1),
+                     "--length", "100"]) == 0
+    assert cli.main(["batch", str(workdir), "--output-dir", str(out2),
+                     "--length", "100"]) == 0
+    va = json.loads((out1 / "cat_wm.json").read_text())[
+        "Version1"]["watermarks"][0]["values"]
+    vb = json.loads((out2 / "cat_wm.json").read_text())[
+        "Version1"]["watermarks"][0]["values"]
+    assert va != vb
+
+
+def test_batch_and_test_jsonl_output(workdir, capsys):
+    jl = workdir / "results.jsonl"
+    rc = cli.main(["batch", str(workdir), "--length", "300", "--seed", "3",
+                   "--jsonl", str(jl)])
+    assert rc == 0
+    lines = [json.loads(s) for s in jl.read_text().splitlines()]
+    assert len(lines) == 1
+    assert lines[0]["input"].endswith("cat.jpg")
+    assert lines[0]["length"] == 300 and lines[0]["method"] == "option2"
+
+    jl2 = workdir / "test_results.jsonl"
+    capsys.readouterr()
+    rc = cli.main(["test", str(workdir / "cat.jpg"),
+                   str(workdir / "cat_wm.png"), str(workdir / "cat_wm.json"),
+                   "--jsonl", str(jl2)])
+    assert rc == 0
+    rows = [json.loads(s) for s in jl2.read_text().splitlines()]
+    assert len(rows) == 1
+    assert rows[0]["matches"] is True and rows[0]["similarity"] > 6.0
+    assert rows[0]["length"] == 300
