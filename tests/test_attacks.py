@@ -42,8 +42,10 @@ def test_attack_resize(embedded2):
     small = im.resize((w // 8, h // 8), Image.BICUBIC)
     restored = np.asarray(small.resize((w, h), Image.BICUBIC))
     sim = _sim(cat, restored, mark)
-    # Reference measures ~9.85 and asserts > 9.5 (attack_resize.rs:63-66).
-    assert sim > 9.0, sim
+    # Reference measures ~9.85 and asserts > 9.5 (attack_resize.rs:63-66);
+    # we measure 10.05 on libjpeg's decode of the base, so the reference's
+    # own bound is asserted.
+    assert sim > 9.5, sim
 
 
 def test_attack_crop(embedded2):
@@ -54,10 +56,14 @@ def test_attack_crop(embedded2):
     composited = cat.copy()
     composited[160:160 + 225, 340:340 + 225] = marked[160:160 + 225, 340:340 + 225]
     sim = _sim(cat, composited, mark)
-    # Reference measures ~8.07 and asserts > 8.0 (attack_crop.rs:91-94);
-    # observed 7.46 here -- the residual offset tracks the base-JPEG decoder
-    # difference (see test_parity.py docstring), not the pipeline.
-    assert sim > 7.0, sim
+    # Reference measures ~8.07 and asserts > 8.0 (attack_crop.rs:91-94) on
+    # ITS decoder's pixels. On libjpeg's pixels the float64 reference-
+    # algorithm oracle measures 7.456 and we measure 7.456 (agreement to
+    # 1e-3; see tests/test_oracle_parity.py, which also shows +-1-pixel
+    # decoder-scale noise swings this statistic across [7.37, 9.72]). The
+    # pipeline is exactly at the reference algorithm's strength; the bound
+    # below is the oracle's value minus noise margin.
+    assert sim > 7.3, sim
 
 
 def test_attack_jpeg_recompression(embedded2):

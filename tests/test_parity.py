@@ -108,7 +108,12 @@ def test_seed1_self_embedding_matches_reference_bounds(cat_image):
     marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark)))
     ext = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), 1000))
     err = np.abs(ext - mark)
-    assert err.max() < 0.16, err.max()   # reference asserts 0.12 on its decoder
+    # Reference asserts max < 0.12 on ITS decoder's pixels; on libjpeg's
+    # pixels the float64 reference-algorithm oracle itself measures 0.1485
+    # (tests/test_oracle_parity.py), so 0.12 is unattainable here by any
+    # correct implementation. We assert the oracle's value + margin, and
+    # test_oracle_parity pins ours to <= the oracle's.
+    assert err.max() < 0.155, err.max()
     assert err.mean() < 0.02, err.mean()  # reference bound, met exactly
     sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(mark[None])))[0]
     assert sim > 31.2, sim  # reference: 31.24
