@@ -26,7 +26,8 @@ from jax import shard_map
 from ..config import ReadConfig, WriteConfig
 from ..models import pipeline
 from ..ops import colorspace, modulation
-from .dct_sharded import dct2_2d_sharded, idct2_2d_sharded
+from .dct_sharded import (_pad_last2, dct2_2d_sharded_padded,
+                          idct2_2d_sharded_padded, padded_size)
 from .mesh import DATA_AXIS, SPATIAL_AXIS
 from .topk_sharded import distributed_top_indices
 
@@ -103,10 +104,18 @@ def _modulate_sharded(coeffs, marks, mesh: Mesh, config: WriteConfig,
 @functools.partial(jax.jit, static_argnames=("mesh", "config", "quantize"))
 def _embed_spatial_jit(rgb, marks, mesh, config, quantize):
     h, w = rgb.shape[0], rgb.shape[1]
+    n = mesh.shape[SPATIAL_AXIS]
+    hp, wp = padded_size(h, n), padded_size(w, n)
     yiq = colorspace.rgb_to_yiq(pipeline._to_f32(rgb))
-    coeffs = dct2_2d_sharded(yiq[..., 0], mesh, precision=config.precision)
+    # Arbitrary sizes (the reference handles any W x H, src/dct2d.rs:83-98):
+    # pad the luma plane up to divisibility; the zero-extended bases keep the
+    # padding inert, the top-k masks it out, and the result is cropped.
+    y_pad = _pad_last2(yiq[..., 0], hp, wp)
+    coeffs = dct2_2d_sharded_padded(y_pad, mesh, h, w,
+                                    precision=config.precision)
     coeffs = _modulate_sharded(coeffs, marks, mesh, config, h, w)
-    y = idct2_2d_sharded(coeffs, mesh, precision=config.precision)
+    y = idct2_2d_sharded_padded(coeffs, mesh, h, w,
+                                precision=config.precision)[..., :h, :w]
     out = colorspace.yiq_to_rgb(
         jnp.concatenate([y[..., None], yiq[..., 1:]], axis=-1))
     if quantize:
@@ -114,17 +123,25 @@ def _embed_spatial_jit(rgb, marks, mesh, config, quantize):
     return out
 
 
+def _row_sharding(rgb, mesh: Mesh) -> NamedSharding:
+    """Row-sharded placement when H divides evenly, replicated otherwise
+    (the jitted body pads and re-shards internally either way)."""
+    if rgb.shape[0] % mesh.shape[SPATIAL_AXIS] == 0:
+        return NamedSharding(mesh, P(SPATIAL_AXIS, None, None))
+    return NamedSharding(mesh, P())
+
+
 def embed_spatial(rgb, marks, mesh: Mesh,
                   config: WriteConfig = WriteConfig(), quantize=True):
     """TP embed of ONE (H, W, 3) image sharded spatially over the mesh.
 
-    H and W must be divisible by the spatial axis size. Input is placed
-    row-sharded; output is returned row-sharded (same layout).
+    Any H x W is accepted (non-divisible sizes are zero-padded internally,
+    mirroring the reference's arbitrary-size support, src/dct2d.rs:83-98).
+    Input is placed row-sharded; output is returned row-sharded (same layout).
     """
     if marks.ndim == 1:
         marks = marks[None]
-    rgb = jax.device_put(
-        rgb, NamedSharding(mesh, P(SPATIAL_AXIS, None, None)))
+    rgb = jax.device_put(rgb, _row_sharding(rgb, mesh))
     marks = jax.device_put(marks, NamedSharding(mesh, P()))
     return _embed_spatial_jit(rgb, marks, mesh, config, quantize)
 
@@ -132,10 +149,12 @@ def embed_spatial(rgb, marks, mesh: Mesh,
 @functools.partial(jax.jit, static_argnames=("mesh", "config", "n"))
 def _extract_spatial_jit(base, derived, n, mesh, config):
     h, w = base.shape[0], base.shape[1]
-    yb = colorspace.rgb_to_yiq(pipeline._to_f32(base))[..., 0]
-    yd = colorspace.rgb_to_yiq(pipeline._to_f32(derived))[..., 0]
-    cb = dct2_2d_sharded(yb, mesh, precision=config.precision)
-    cd = dct2_2d_sharded(yd, mesh, precision=config.precision)
+    nspatial = mesh.shape[SPATIAL_AXIS]
+    hp, wp = padded_size(h, nspatial), padded_size(w, nspatial)
+    yb = _pad_last2(colorspace.rgb_to_yiq(pipeline._to_f32(base))[..., 0], hp, wp)
+    yd = _pad_last2(colorspace.rgb_to_yiq(pipeline._to_f32(derived))[..., 0], hp, wp)
+    cb = dct2_2d_sharded_padded(yb, mesh, h, w, precision=config.precision)
+    cd = dct2_2d_sharded_padded(yd, mesh, h, w, precision=config.precision)
 
     def local(cb_blk, cd_blk):
         wb = cb_blk.shape[1]
@@ -170,7 +189,7 @@ def extract_spatial(base, derived, n: int, mesh: Mesh,
             "Derived coefficient length not equal to base coefficient length.")
     if n >= base.shape[0] * base.shape[1]:
         raise ValueError("Desired extraction length exceeds available coefficients.")
-    sh = NamedSharding(mesh, P(SPATIAL_AXIS, None, None))
+    sh = _row_sharding(base, mesh)
     base = jax.device_put(base, sh)
     derived = jax.device_put(derived, sh)
     return _extract_spatial_jit(base, derived, n, mesh, config)

@@ -65,9 +65,11 @@ def distributed_top_indices(
 ) -> jax.Array:
     """Global top-n flat indices from inside a shard_map over P(None, spatial).
 
-    ``coeffs_block`` is this device's (H, W/n) column block of the DCT
-    coefficients. Returns the REPLICATED (n,) int32 rank-ordered global flat
-    indices (row-major over the full H x W image), DC excluded.
+    ``coeffs_block`` is this device's (Hp, Wp/n) column block of the DCT
+    coefficients, where Hp/Wp may be padded up from the true ``height``/
+    ``width`` for divisibility (parallel/dct_sharded.py). Returns the
+    REPLICATED (n,) int32 rank-ordered global flat indices (row-major over
+    the TRUE height x width image), DC and padding excluded.
     """
     axis_size = jax.lax.psum(1, SPATIAL_AXIS)
     my_id = jax.lax.axis_index(SPATIAL_AXIS)
@@ -80,9 +82,13 @@ def distributed_top_indices(
     gidx = rows * width + cols
     flat_metric = metric.reshape(-1)
     flat_gidx = gidx.reshape(-1)
-    # DC exclusion (reference: src/algorithm.rs:204).
+    # DC exclusion (reference: src/algorithm.rs:204) and padding exclusion
+    # (positions beyond the true height/width would otherwise alias valid
+    # flat indices of later rows).
+    valid = (rows < height) & (cols < width)
     neg_inf = jnp.asarray(-jnp.inf, dtype=flat_metric.dtype)
-    flat_metric = jnp.where(flat_gidx == 0, neg_inf, flat_metric)
+    flat_metric = jnp.where(
+        (flat_gidx == 0) | ~valid.reshape(-1), neg_inf, flat_metric)
 
     k_local = min(n, flat_metric.shape[0])
     lv, li = jax.lax.top_k(flat_metric, k_local)

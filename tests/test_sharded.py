@@ -53,9 +53,18 @@ def test_sharded_idct_roundtrip(spatial_mesh):
     np.testing.assert_allclose(back, y, atol=1e-4)
 
 
-def test_sharded_dct_rejects_indivisible(spatial_mesh):
-    with pytest.raises(ValueError, match="divisible"):
-        dct_sharded.dct2_2d_sharded(jnp.zeros((63, 96)), spatial_mesh)
+def test_sharded_dct_indivisible_matches_single(spatial_mesh):
+    # Arbitrary sizes, like the reference (src/dct2d.rs:83-98): 63x97 is
+    # divisible by neither 8 nor 2 -- pad-and-mask must be exact.
+    rng = np.random.default_rng(4)
+    y = rng.standard_normal((63, 97)).astype(np.float32)
+    want = np.asarray(dct.dct2_2d(jnp.asarray(y)))
+    got = np.asarray(dct_sharded.dct2_2d_sharded(jnp.asarray(y), spatial_mesh))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    back = np.asarray(dct_sharded.idct2_2d_sharded(
+        jnp.asarray(got), spatial_mesh))
+    np.testing.assert_allclose(back, y, atol=1e-4)
 
 
 @pytest.mark.parametrize("ordering", list(Ordering))
@@ -144,3 +153,46 @@ def test_batch_sharded_matches_single(data_mesh, cat_image):
         jnp.asarray(imgs), jnp.asarray(got), 300, data_mesh))
     sims = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(marks)))
     assert np.diagonal(sims).min() > 15.0
+
+
+def test_spatial_embed_indivisible_uncropped_cat(spatial_mesh, cat_image):
+    # The UNCROPPED 444x640 cat: 444 % 8 != 0. Pad-and-mask TP must agree
+    # with the single-device pipeline (round-1 VERDICT item 7).
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(4), 500))
+    want = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark)))
+    got = np.asarray(pipeline_sharded.embed_spatial(
+        jnp.asarray(cat_image), jnp.asarray(mark), spatial_mesh))
+    assert got.shape == want.shape
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert (diff > 1).mean() == 0.0
+    assert (diff > 0).mean() < 0.02, (diff > 0).mean()
+    # And the TP read path detects it.
+    ext = np.asarray(pipeline_sharded.extract_spatial(
+        jnp.asarray(cat_image), jnp.asarray(got), 500, spatial_mesh))
+    sim = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(mark[None])))[0]
+    assert sim > 18.0, sim
+
+
+def test_joint_data_spatial_mesh(cat_image):
+    # A (data=2, spatial=4) mesh exercised on BOTH axes (round-1 VERDICT
+    # noted only (8,1)/(1,8) meshes were ever tested).
+    mesh = make_mesh((2, 4))
+    img = cat_image  # 444x640: also indivisible by the spatial axis (4)
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(5), 400))
+    got = np.asarray(pipeline_sharded.embed_spatial(
+        jnp.asarray(img), jnp.asarray(mark), mesh))
+    want = np.asarray(wm.embed(jnp.asarray(img), jnp.asarray(mark)))
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert (diff > 1).mean() == 0.0
+
+    imgs = np.stack([img] * 2)
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(6), 400, count=2))
+    dp = np.asarray(pipeline_sharded.embed_batch_sharded(
+        jnp.asarray(imgs), jnp.asarray(marks[:, None, :]), mesh))
+    dp_want = np.asarray(wm.embed(jnp.asarray(imgs), jnp.asarray(marks[:, None, :])))
+    # On a joint mesh GSPMD may also partition the inner einsums over the
+    # spatial axis, changing f32 reduction order -- allow <=1 quantization
+    # step (the pure-DP (8,1) mesh is asserted bit-equal elsewhere).
+    dp_diff = np.abs(dp_want.astype(int) - dp.astype(int))
+    assert (dp_diff > 1).mean() == 0.0
+    assert (dp_diff > 0).mean() < 0.02, (dp_diff > 0).mean()
