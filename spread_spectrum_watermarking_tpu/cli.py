@@ -242,10 +242,25 @@ def cmd_batch(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from .bench import run_bench
+    import json as _json
 
-    run_bench(batch=args.batch, size=args.size, length=args.length,
-              iters=args.iters, profile_dir=args.profile_dir)
+    from .bench import run_bench, run_corpus_bench, run_similarity_sweep_bench
+
+    if args.config == "throughput":
+        run_bench(batch=args.batch, size=args.size, length=args.length,
+                  iters=args.iters, profile_dir=args.profile_dir)
+    elif args.config == "corpus":
+        # BASELINE config 4: 1024-image corpus + 10k-watermark sweep.
+        res = run_corpus_bench(n_images=args.corpus_images, chunk=args.batch,
+                               size=args.size, length=args.length,
+                               n_marks=args.sweep_marks)
+        print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in res.items()}))
+    elif args.config == "sweep":
+        res = run_similarity_sweep_bench(n_extracted=args.corpus_images,
+                                         n_marks=args.sweep_marks,
+                                         length=args.length, iters=args.iters)
+        print(_json.dumps({k: round(v, 6) for k, v in res.items()}))
     return 0
 
 
@@ -295,6 +310,13 @@ def main(argv=None) -> int:
     p_bench.add_argument("--iters", type=int, default=10)
     p_bench.add_argument("--profile-dir", default=None,
                          help="Write a jax.profiler trace here (TensorBoard).")
+    p_bench.add_argument("--config", default="throughput",
+                         choices=["throughput", "corpus", "sweep"],
+                         help="throughput: steady-state embed/extract; "
+                              "corpus: end-to-end corpus + mark-database "
+                              "sweep; sweep: similarity matmul only.")
+    p_bench.add_argument("--corpus-images", type=int, default=1024)
+    p_bench.add_argument("--sweep-marks", type=int, default=10000)
 
     args = parser.parse_args(argv)
     if args.command == "watermark":
