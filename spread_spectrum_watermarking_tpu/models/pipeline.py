@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Precision, ReadConfig, WriteConfig, jax_precision
-from ..ops import colorspace, dct, modulation, ranking
+from ..ops import colorspace, dct, fused_dct, modulation, ranking
 
 
 def _to_f32(rgb: jax.Array) -> jax.Array:
@@ -97,18 +97,30 @@ def _shorter_axis(h: int, w: int) -> int:
     return -2 if h <= w else -1
 
 
+def _half_pass(rgb: jax.Array, precision, ax: int,
+               allow_fused: bool) -> jax.Array:
+    """Luma + one DCT-II pass along ``ax``, dispatched to the fused Pallas
+    kernel on TPU when eligible (uint8, landscape, non-HIGHEST --
+    :func:`..ops.fused_dct.supported`), else the XLA formulation."""
+    if (ax == -2 and allow_fused
+            and fused_dct.supported(rgb.shape, rgb.dtype, precision)):
+        return fused_dct.luma_row_pass(rgb, precision)
+    y = colorspace.rgb_to_luma(_to_f32(rgb))
+    return dct.dct2_pass(y, axis=ax, precision=precision)
+
+
 def _rank_and_values_fast(
-    y: jax.Array,
+    rgb: jax.Array,
     n: int,
     ordering,
     precision,
     custom_metric=None,
-) -> Tuple[jax.Array, jax.Array]:
+    allow_fused: bool = True,
+) -> Tuple[jax.Array, jax.Array, tuple]:
     """Production prologue: ranked indices + exact coefficient values.
 
     Never materializes the full coefficient plane at working precision.
-    One half-pass ``T`` over the shorter axis runs at the config precision and
-    is shared by both consumers:
+    One half-pass ``T`` over the shorter axis is shared by both consumers:
 
       * ranking: the other half-pass runs once in bf16 producing a
         *metric-only* plane, ranked with :func:`..ops.ranking.approx_top_indices`
@@ -117,13 +129,39 @@ def _rank_and_values_fast(
         (reference: src/algorithm.rs:382-410 writes, :543-562 reads) are
         finished from ``T`` by a gather-dot at full precision.
 
+    On TPU with uint8 input the half-pass runs through the fused Pallas
+    kernel (:mod:`..ops.fused_dct`): luma conversion happens in-kernel so the
+    f32 luma plane never touches HBM. The folded kernel variant
+    (``fused_dct.USE_FOLD``) additionally halves the MXU FLOPs and returns an
+    even/odd stacked row layout, so ranking goes through the index-mapped
+    variant and downstream gather-dots use layout positions; the *returned*
+    indices are always true row-major flat indices either way.
+
     vs the reference's Writer/Reader prologue (full 2-D transform + full
     comparison sort, src/algorithm.rs:308-342, 200-210): ~2.3x less matmul
     work and ~3x cheaper ranking at 1080p.
+
+    Returns ``(idx, vals, ctx)`` where ``ctx`` lets the read path run the
+    derived image through the identical transform: ``("folded", lidx)`` or
+    ``("plain", ax)``.
     """
-    h, w = y.shape[-2], y.shape[-1]
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    allow_fused = allow_fused and custom_metric is None
+    if (allow_fused and fused_dct.USE_FOLD
+            and fused_dct.supported(rgb.shape, rgb.dtype, precision,
+                                    fold=True)):
+        t = fused_dct.luma_fold_row_pass(rgb, precision)
+        rank_plane = dct.dct2_pass(
+            t.astype(jnp.bfloat16), axis=-1, precision=Precision.DEFAULT)
+        imap = jnp.asarray(fused_dct.true_index_map(h, w))
+        with jax.named_scope("ssw.rank"):
+            idx, lidx = ranking.approx_top_indices_mapped(
+                rank_plane, n, ordering, imap, h, w)
+        vals = dct.dct2_dot_at(t, lidx, contracted_axis=-2,
+                               precision=precision)
+        return idx, vals, ("folded", lidx)
     ax = _shorter_axis(h, w)
-    t = dct.dct2_pass(y, axis=ax, precision=precision)
+    t = _half_pass(rgb, precision, ax, allow_fused)
     other = -1 if ax == -2 else -2
     rank_plane = dct.dct2_pass(
         t.astype(jnp.bfloat16), axis=other, precision=Precision.DEFAULT)
@@ -131,7 +169,7 @@ def _rank_and_values_fast(
         idx = ranking.approx_top_indices(rank_plane, n, ordering,
                                          custom_metric=custom_metric)
     vals = dct.dct2_dot_at(t, idx, contracted_axis=ax, precision=precision)
-    return idx, vals
+    return idx, vals, ("plain", ax)
 
 
 def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
@@ -146,9 +184,8 @@ def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
     h, w = rgb.shape[-3], rgb.shape[-2]
     rgbf = _to_f32(rgb)
     with jax.named_scope("ssw.forward"):
-        y = colorspace.rgb_to_luma(rgbf)
-        idx, original = _rank_and_values_fast(
-            y, n, config.ordering, config.precision, config.custom_ordering)
+        idx, original, _ = _rank_and_values_fast(
+            rgb, n, config.ordering, config.precision, config.custom_ordering)
     new_values = modulation.embed_marks(
         original, marks, config.insertion.method, config.insertion.alpha,
         custom_insert=config.custom_insert, indices=idx,
@@ -172,16 +209,22 @@ def _extract_fast(base: jax.Array, derived: jax.Array, n: int,
     :func:`_embed_fast`; the derived image gets one half-pass + gather-dot
     (its coefficients are only read at the base's n ranked indices,
     reference src/algorithm.rs:556-561)."""
-    h, w = base.shape[-3], base.shape[-2]
-    ax = _shorter_axis(h, w)
     with jax.named_scope("ssw.forward"):
-        yb = colorspace.rgb_to_luma(_to_f32(base))
-        idx, base_vals = _rank_and_values_fast(
-            yb, n, config.ordering, config.precision, config.custom_ordering)
-        yd = colorspace.rgb_to_luma(_to_f32(derived))
-        td = dct.dct2_pass(yd, axis=ax, precision=config.precision)
-        derived_vals = dct.dct2_dot_at(
-            td, idx, contracted_axis=ax, precision=config.precision)
+        # Base and derived must take the same transform path (the derived
+        # gather-dot reads layout positions from the base's ranking).
+        allow_fused = base.dtype == derived.dtype
+        idx, base_vals, ctx = _rank_and_values_fast(
+            base, n, config.ordering, config.precision,
+            config.custom_ordering, allow_fused=allow_fused)
+        if ctx[0] == "folded":
+            td = fused_dct.luma_fold_row_pass(derived, config.precision)
+            derived_vals = dct.dct2_dot_at(
+                td, ctx[1], contracted_axis=-2, precision=config.precision)
+        else:
+            ax = ctx[1]
+            td = _half_pass(derived, config.precision, ax, allow_fused)
+            derived_vals = dct.dct2_dot_at(
+                td, idx, contracted_axis=ax, precision=config.precision)
     if config.custom_extract is not None:
         return config.custom_extract(idx, base_vals, derived_vals)
     return modulation.extract_values(

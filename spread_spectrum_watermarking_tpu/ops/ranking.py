@@ -193,6 +193,39 @@ def approx_top_indices(
     return idx
 
 
+def approx_top_indices_mapped(
+    plane: jax.Array,
+    n: int,
+    ordering: Ordering,
+    index_map: jax.Array,
+    h: int,
+    w: int,
+):
+    """:func:`approx_top_indices` over a row-permuted coefficient plane.
+
+    ``plane`` is (..., R, w) in an arbitrary (static) row layout described by
+    ``index_map`` (R, w) int32: the true flat row-major index of each
+    position, with out-of-range sentinel ``h*w`` marking padding rows (see
+    ops/fused_dct.true_index_map). The ranking metric is position-dependent
+    for ENERGY_ORTHOGONAL/LEGACY (row-0/col-0 ortho factors, reference
+    src/algorithm.rs:240-267), so the metric is evaluated against the *true*
+    indices; DC and padding are masked inside :func:`_metric_from_values`.
+
+    Returns ``(true_idx, layout_idx)`` -- the same selection expressed as
+    true row-major flat indices (for modulation / the sparse inverse) and as
+    flat positions in the plane's own layout (for gather-dots against it).
+    """
+    size = h * w
+    lead = plane.shape[:-2]
+    flat_p = plane.reshape(*lead, -1)
+    flat_map = index_map.reshape(-1)
+    m = _metric_from_values(flat_p, flat_map, h, w, ordering, size)
+    m = m.astype(jnp.bfloat16)
+    _, layout_idx = jax.lax.approx_max_k(m, n)
+    true_idx = jnp.take(flat_map, layout_idx)
+    return true_idx, layout_idx
+
+
 def top_indices(
     coeffs: jax.Array,
     n: int,
