@@ -112,9 +112,12 @@ class Reader:
         return self._cache[n]
 
     def coefficients(self) -> np.ndarray:
-        h, w = self._rgb.shape[:2]
-        flat, _ = self._prepared(min(1, h * w - 1))
-        return np.asarray(flat)
+        """Flat DCT coefficient plane of the base image
+        (reference accessor: src/algorithm.rs:502-504). Computed directly --
+        no ranking is needed for this view."""
+        for flat, _ in self._cache.values():
+            return np.asarray(flat)
+        return np.asarray(pipeline.prepare_derived(self._rgb, self._config))
 
     def indices(self, n: int) -> np.ndarray:
         _, idx = self._prepared(n)

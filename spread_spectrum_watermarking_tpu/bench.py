@@ -111,9 +111,12 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
         def extract_step(carry):
             base, derived = carry
             ext = pipeline.extract(base, derived, length, rcfg)
-            # ext is ~O(1); 1e-30 * ext[0,0] preserves the f32 image
-            # bit-exactly while making the next iteration data-dependent.
-            return base, derived + ext[0, 0] * 1e-30
+            # Data-dependence without perturbation: ext is ~O(1), so
+            # 1 + ext[0,0]*1e-35 rounds to exactly 1.0f at runtime and the
+            # multiply is a bit-exact identity on every finite f32 -- each
+            # iteration extracts from the *identical* derived batch (an
+            # additive nudge would flip zero pixels to denormals).
+            return base, derived * (1.0 + ext[0, 0] * 1e-35)
 
         t_extract = _timed_scan(extract_step, (images, marked_f32), iters)
 

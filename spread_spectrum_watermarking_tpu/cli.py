@@ -171,7 +171,15 @@ def cmd_test(args) -> int:
 
 
 def cmd_batch(args) -> int:
-    """Embed fresh marks into every image in a directory, batched on device."""
+    """Embed fresh marks into every image in a directory, batched on device.
+
+    Failure semantics (SURVEY.md section 5: re-runnable idempotent batch
+    processing, replacing the reference's panic-on-error):
+    a per-image decode failure is recorded (stderr + JSONL ``"error"`` line)
+    and the rest of the batch proceeds; the exit code is nonzero iff anything
+    failed, so a scheduler retry re-runs the job, and ``--resume`` makes the
+    retry idempotent by skipping images whose outputs already exist.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -187,7 +195,27 @@ def cmd_batch(args) -> int:
     out_dir = Path(args.output_dir or args.directory)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    images = image_io.load_batch_u8(paths)
+    skipped = 0
+    if args.resume:
+        remaining = []
+        for p in paths:
+            if (out_dir / (p.stem + "_wm.png")).exists() and \
+                    (out_dir / (p.stem + "_wm.json")).exists():
+                skipped += 1
+            else:
+                remaining.append(p)
+        paths = remaining
+
+    failures = []
+    loaded_paths, images = [], []
+    for p in paths:
+        try:
+            images.append(image_io.load_rgb_u8(p))
+            loaded_paths.append(p)
+        except Exception as e:  # noqa: BLE001 -- isolate per-image failures
+            failures.append((p, repr(e)))
+            print(f"failed to decode {p}: {e}", file=sys.stderr)
+    paths = loaded_paths
     ie = InsertExtract(alpha=args.alpha, method=_METHOD_CHOICES[args.method])
     wcfg = WriteConfig(insertion=ie, ordering=_ORDERING_CHOICES[args.ordering])
     # Fresh entropy when unseeded (like cmd_watermark): a fixed default seed
@@ -235,10 +263,19 @@ def cmd_batch(args) -> int:
                 }, jsonl)
                 jsonl.write("\n")
     dt = time.perf_counter() - t0
-    print(f"embedded {count} images in {dt:.2f}s ({count / dt:.1f} img/s)")
+    for p, err in failures:
+        if jsonl is not None:
+            json.dump({"input": str(p), "error": err}, jsonl)
+            jsonl.write("\n")
+    msg = f"embedded {count} images in {dt:.2f}s ({count / dt:.1f} img/s)"
+    if skipped:
+        msg += f"; skipped {skipped} already-watermarked (--resume)"
+    if failures:
+        msg += f"; {len(failures)} FAILED"
+    print(msg)
     if jsonl is not None and jsonl is not sys.stdout:
         jsonl.close()
-    return 0
+    return 1 if failures else 0
 
 
 def cmd_bench(args) -> int:
@@ -301,6 +338,9 @@ def main(argv=None) -> int:
     p_batch.add_argument("--jsonl", default=None,
                          help="Append one JSON line per embedded image here "
                               "('-' for stdout).")
+    p_batch.add_argument("--resume", action="store_true",
+                         help="Skip images whose _wm outputs already exist "
+                              "(idempotent re-run after a failure).")
 
     p_bench = sub.add_parser("bench", help="Throughput benchmark.")
     p_bench.add_argument("--batch", type=int, default=32)

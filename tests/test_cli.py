@@ -143,3 +143,44 @@ def test_batch_and_test_jsonl_output(workdir, capsys):
     assert len(rows) == 1
     assert rows[0]["matches"] is True and rows[0]["similarity"] > 6.0
     assert rows[0]["length"] == 300
+
+
+def test_batch_failure_isolation_and_resume(workdir, capsys):
+    """Re-runnable batch semantics (SURVEY.md section 5 failure handling):
+    a corrupt image is recorded and skipped, the rest of the batch completes,
+    the exit code flags the failure, and a --resume re-run is idempotent."""
+    d = workdir / "imgs"
+    d.mkdir()
+    shutil.copy(CAT_JPG, d / "a.jpg")
+    shutil.copy(CAT_JPG, d / "b.jpg")
+    (d / "corrupt.png").write_bytes(b"not an image at all")
+    jsonl = workdir / "batch.jsonl"
+
+    rc = cli.main(["batch", str(d), "--seed", "5", "--length", "100",
+                   "--jsonl", str(jsonl)])
+    assert rc == 1  # something failed -> scheduler retries
+    out = capsys.readouterr().out
+    assert "1 FAILED" in out
+    assert (d / "a_wm.png").exists() and (d / "b_wm.json").exists()
+    assert not (d / "corrupt_wm.png").exists()
+    lines = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    assert sum("error" in l for l in lines) == 1
+    assert sum("output_image" in l for l in lines) == 2
+
+    # retry with --resume: the two finished images are skipped (idempotent),
+    # only the corrupt one is reattempted and fails again.
+    rc = cli.main(["batch", str(d), "--seed", "5", "--length", "100",
+                   "--resume"])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "embedded 0 images" in out
+    assert "skipped 2" in out
+
+    # after fixing the input, --resume finishes just the missing one.
+    shutil.copy(CAT_JPG, d / "corrupt.png")
+    rc = cli.main(["batch", str(d), "--seed", "5", "--length", "100",
+                   "--resume"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "embedded 1 images" in out
+    assert (d / "corrupt_wm.png").exists()

@@ -1,0 +1,127 @@
+"""True multi-process (DCN-path) test of multihost_initialize + collectives.
+
+The reference has no distribution at all (SURVEY.md section 2.1); our
+multi-host story is ``parallel.mesh.multihost_initialize`` (a
+``jax.distributed.initialize`` wrapper) + global meshes whose collectives
+ride ICI within a process and DCN across processes. A single-process
+8-virtual-device mesh (tests/test_sharded.py) cannot exercise the
+cross-process runtime, so this test launches TWO actual processes, each with
+4 virtual CPU devices, initializes the distributed runtime over a local
+coordinator, builds the global (1, 8) spatial mesh, and runs the exact
+distributed top-k on a globally sharded coefficient plane -- asserting
+bit-equality with the single-device oracle on every process.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1])
+coord = sys.argv[2]
+
+from spread_spectrum_watermarking_tpu.parallel import mesh as mesh_lib
+
+try:
+    mesh_lib.multihost_initialize(
+        coordinator_address=coord, num_processes=2, process_id=pid)
+except Exception as e:  # runtime service unavailable in this sandbox
+    print("DISTRIBUTED-UNAVAILABLE:", e)
+    sys.exit(17)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+import spread_spectrum_watermarking_tpu as wm
+from spread_spectrum_watermarking_tpu.parallel import topk_sharded
+
+devices = jax.devices()
+assert len(devices) == 8, devices
+assert jax.process_count() == 2
+
+mesh = mesh_lib.make_mesh((1, 8))
+h, w, n = 64, 256, 50
+
+rng = np.random.default_rng(42)  # same seed on both processes
+plane = rng.normal(size=(h, w)).astype(np.float32)
+
+sharding = NamedSharding(mesh, P(None, mesh_lib.SPATIAL_AXIS))
+garr = jax.make_array_from_callback((h, w), sharding, lambda idx: plane[idx])
+
+fn = shard_map(
+    lambda blk: topk_sharded.distributed_top_indices(
+        blk, n, wm.Ordering.ENERGY, h, w),
+    mesh=mesh,
+    in_specs=P(None, mesh_lib.SPATIAL_AXIS),
+    out_specs=P(),
+)
+got = np.asarray(jax.jit(fn)(garr))
+
+# single-device oracle (exact, reference tie order)
+oracle = np.asarray(wm.ops.ranking.top_indices(
+    jnp.asarray(plane)[None], n, wm.Ordering.ENERGY))[0]
+assert np.array_equal(got, oracle), (got[:10], oracle[:10])
+
+# a cross-process psum smoke check: every device contributes its process id
+local = jnp.full((1,), float(jax.process_index()))
+summed = float(jax.jit(
+    shard_map(lambda x: jax.lax.psum(x, mesh_lib.SPATIAL_AXIS),
+              mesh=mesh, in_specs=P(mesh_lib.SPATIAL_AXIS), out_specs=P()),
+)(jax.make_array_from_callback(
+    (8,), NamedSharding(mesh, P(mesh_lib.SPATIAL_AXIS)),
+    lambda idx: np.full((1,), float(jax.process_index()), np.float32)))[0])
+assert summed == 4.0, summed  # 4 devices on process 0 (0.0) + 4 on 1 (1.0)
+
+print(f"MULTIHOST-OK pid={pid}")
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(300)
+def test_multihost_distributed_topk(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), coord],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd="/root/repo", text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append((p.returncode, out))
+
+    if any(rc == 17 for rc, _ in outs):
+        pytest.skip("jax distributed runtime unavailable in this sandbox: "
+                    + outs[0][1].splitlines()[-1])
+    for pid, (rc, out) in enumerate(outs):
+        assert rc == 0, f"process {pid} failed:\n{out}"
+        assert f"MULTIHOST-OK pid={pid}" in out, out
