@@ -186,6 +186,9 @@ def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
     with jax.named_scope("ssw.forward"):
         idx, original, _ = _rank_and_values_fast(
             rgb, n, config.ordering, config.precision, config.custom_ordering)
+    if marks.ndim == 2:  # (M, N) shared across batch -> (B, M, N)
+        marks = jnp.broadcast_to(marks[None],
+                                 (original.shape[0],) + marks.shape)
     new_values = modulation.embed_marks(
         original, marks, config.insertion.method, config.insertion.alpha,
         custom_insert=config.custom_insert, indices=idx,

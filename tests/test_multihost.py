@@ -102,6 +102,10 @@ def test_multihost_distributed_topk(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("JAX_PLATFORMS", None)
+    # The worker script lives in tmp_path, so sys.path[0] is not the repo;
+    # make the package importable whether or not it is pip-installed.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
     procs = [
         subprocess.Popen(

@@ -51,13 +51,22 @@ def test_unquantized_extraction_near_exact(cat_image):
     assert err.mean() < 0.01, err.mean()
 
 
-def test_batch_matches_single(cat_image):
-    # Batched embed over B=3 must equal three single embeds.
+ALL_PRECISIONS = [wm.Precision.HIGHEST, wm.Precision.HIGH,
+                  wm.Precision.DEFAULT]
+
+
+@pytest.mark.parametrize("precision", ALL_PRECISIONS)
+def test_batch_matches_single(cat_image, precision):
+    # Batched embed over B=3 must equal three single embeds, at every
+    # precision tier (the fast tiers take _embed_fast, a separate code path).
+    wcfg = wm.WriteConfig(precision=precision)
     marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(2), N, count=3))
     batch = np.stack([cat_image] * 3)
-    out_b = np.asarray(wm.embed(jnp.asarray(batch), jnp.asarray(marks[:, None, :])))
+    out_b = np.asarray(
+        wm.embed(jnp.asarray(batch), jnp.asarray(marks[:, None, :]), wcfg))
     for i in range(3):
-        out_i = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(marks[i])))
+        out_i = np.asarray(
+            wm.embed(jnp.asarray(cat_image), jnp.asarray(marks[i]), wcfg))
         # Matmul tiling differs with batch size, so f32 reduction order can
         # flip isolated values at a u8 rounding boundary; allow <=1 step on a
         # vanishing fraction of pixels.
@@ -66,13 +75,20 @@ def test_batch_matches_single(cat_image):
         assert (diff > 0).mean() < 1e-4, (diff > 0).mean()
 
 
-def test_multimark_interference(cat_image):
+@pytest.mark.parametrize("precision", ALL_PRECISIONS)
+def test_multimark_interference(cat_image, precision):
     # 16 marks into one image (BASELINE.json config 2): every mark must
-    # still be detectable, and all sims are computed in one sweep.
+    # still be detectable, and all sims are computed in one sweep. Runs at
+    # every precision tier -- the fast tiers previously embedded only mark 0
+    # from a shared (M, N) mark set (round-2 VERDICT weak item 1).
     m = 16
+    wcfg = wm.WriteConfig(precision=precision)
+    rcfg = wm.ReadConfig(precision=precision)
     marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(3), N, count=m))
-    marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(marks)))
-    ext = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), N))
+    marked = np.asarray(
+        wm.embed(jnp.asarray(cat_image), jnp.asarray(marks), wcfg))
+    ext = np.asarray(
+        wm.extract(jnp.asarray(cat_image), jnp.asarray(marked), N, rcfg))
     sims = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(marks)))
     assert sims.shape == (m,)
     # With 16 interfering marks the expected per-mark sim drops to roughly
@@ -82,6 +98,32 @@ def test_multimark_interference(cat_image):
     rand = np.asarray(wm.generate_normal(jax.random.PRNGKey(4), N, count=8))
     null = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(rand)))
     assert np.abs(null).max() < 4.0, null
+
+
+@pytest.mark.parametrize("precision",
+                         [wm.Precision.HIGH, wm.Precision.DEFAULT])
+def test_batched_shared_multimark_matches_highest(cat_image, precision):
+    # Round-2 VERDICT repro: a batch of 2 images x 4 SHARED (M, N) marks at a
+    # fast precision crashed with a broadcast TypeError, and a single image
+    # silently embedded only mark 0. Both must now match the HIGHEST path.
+    m = 4
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(11), N, count=m))
+    batch = np.stack([cat_image, cat_image[:, ::-1]])  # two distinct images
+
+    def sims_at(precision):
+        wcfg = wm.WriteConfig(precision=precision)
+        rcfg = wm.ReadConfig(precision=precision)
+        marked = np.asarray(
+            wm.embed(jnp.asarray(batch), jnp.asarray(marks), wcfg))
+        ext = np.asarray(
+            wm.extract(jnp.asarray(batch), jnp.asarray(marked), N, rcfg))
+        return np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(marks)))
+
+    got = sims_at(precision)
+    ref = sims_at(wm.Precision.HIGHEST)
+    assert got.shape == (2, m)
+    np.testing.assert_allclose(got, ref, atol=1.0)
+    assert got.min() > 4.0, got
 
 
 def test_writer_reader_tester_wrappers(cat_image):
