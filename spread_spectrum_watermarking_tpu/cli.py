@@ -23,7 +23,8 @@ from pathlib import Path
 
 import numpy as np
 
-from .config import InsertExtract, Method, Ordering, ReadConfig, WriteConfig
+from .config import (InsertExtract, Method, Ordering, Precision, ReadConfig,
+                     WriteConfig)
 from .utils import image_io, storage
 
 _ORDERING_CHOICES = {
@@ -35,6 +36,11 @@ _METHOD_CHOICES = {
     "option1": Method.OPTION1,
     "option2": Method.OPTION2,
     "option3": Method.OPTION3,
+}
+_PRECISION_CHOICES = {
+    "default": Precision.DEFAULT,
+    "high": Precision.HIGH,
+    "highest": Precision.HIGHEST,
 }
 
 
@@ -48,6 +54,15 @@ def _add_watermark_config_args(p: argparse.ArgumentParser) -> None:
                         "an absolute (not relative) scaling.")
     p.add_argument("--method", choices=_METHOD_CHOICES, default="option2",
                    help="Method to insert and extract with.")
+    _add_precision_arg(p)
+
+
+def _add_precision_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--precision", choices=_PRECISION_CHOICES, default="highest",
+                   help="Transform precision tier: 'highest' is the "
+                        "reference-exact f32 path (default); 'high' is the "
+                        "benched production throughput path; 'default' is "
+                        "fastest (single-pass bf16).")
 
 
 def cmd_watermark(args) -> int:
@@ -74,8 +89,9 @@ def cmd_watermark(args) -> int:
 
     method = _METHOD_CHOICES[args.method]
     ordering = _ORDERING_CHOICES[args.ordering]
+    precision = _PRECISION_CHOICES[args.precision]
     ie = InsertExtract(alpha=args.alpha, method=method)
-    wcfg = WriteConfig(insertion=ie, ordering=ordering)
+    wcfg = WriteConfig(insertion=ie, ordering=ordering, precision=precision)
 
     if args.seed is not None:
         key = jax.random.PRNGKey(args.seed)
@@ -95,7 +111,8 @@ def cmd_watermark(args) -> int:
     storage.save_watermark_file(json_out, st)
 
     if args.print_similarity:
-        rcfg = ReadConfig(extraction=ie, ordering=ordering)
+        rcfg = ReadConfig(extraction=ie, ordering=ordering,
+                          precision=precision)
         ext = np.asarray(extract(jnp.asarray(orig),
                                  jnp.asarray(image_io.load_rgb_u8(image_out)),
                                  args.length, rcfg))
@@ -136,7 +153,8 @@ def cmd_test(args) -> int:
             key = (cfg, len(mark.values))
             if key not in retrieved:
                 rcfg = ReadConfig(extraction=cfg.insert_extract,
-                                  ordering=cfg.ordering)
+                                  ordering=cfg.ordering,
+                                  precision=_PRECISION_CHOICES[args.precision])
                 retrieved[key] = np.asarray(extract(
                     jnp.asarray(base), jnp.asarray(watermarked),
                     len(mark.values), rcfg))
@@ -217,7 +235,8 @@ def cmd_batch(args) -> int:
             print(f"failed to decode {p}: {e}", file=sys.stderr)
     paths = loaded_paths
     ie = InsertExtract(alpha=args.alpha, method=_METHOD_CHOICES[args.method])
-    wcfg = WriteConfig(insertion=ie, ordering=_ORDERING_CHOICES[args.ordering])
+    wcfg = WriteConfig(insertion=ie, ordering=_ORDERING_CHOICES[args.ordering],
+                       precision=_PRECISION_CHOICES[args.precision])
     # Fresh entropy when unseeded (like cmd_watermark): a fixed default seed
     # would embed identical marks on every unseeded run -- a watermark-
     # security footgun.
@@ -329,6 +348,7 @@ def main(argv=None) -> int:
     p_test.add_argument("--jsonl", default=None,
                         help="Append one JSON line per tested mark here ('-' "
                              "for stdout).")
+    _add_precision_arg(p_test)
 
     p_batch = sub.add_parser("batch", help="Watermark a directory of images (batched).")
     p_batch.add_argument("directory")

@@ -101,11 +101,14 @@ def _modulate_sharded(coeffs, marks, mesh: Mesh, config: WriteConfig,
     )(coeffs, marks)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "config", "quantize"))
-def _embed_spatial_jit(rgb, marks, mesh, config, quantize):
-    h, w = rgb.shape[0], rgb.shape[1]
+@functools.partial(jax.jit, static_argnames=("mesh", "config", "quantize", "h"))
+def _embed_spatial_jit(rgb, marks, mesh, config, quantize, h):
+    # ``rgb`` arrives with its rows already zero-padded to divisibility and
+    # row-sharded (see _place_row_sharded); ``h`` is the true height.
+    w = rgb.shape[1]
     n = mesh.shape[SPATIAL_AXIS]
-    hp, wp = padded_size(h, n), padded_size(w, n)
+    wp = padded_size(w, n)
+    hp = rgb.shape[0]
     yiq = colorspace.rgb_to_yiq(pipeline._to_f32(rgb))
     # Arbitrary sizes (the reference handles any W x H, src/dct2d.rs:83-98):
     # pad the luma plane up to divisibility; the zero-extended bases keep the
@@ -117,40 +120,55 @@ def _embed_spatial_jit(rgb, marks, mesh, config, quantize):
     y = idct2_2d_sharded_padded(coeffs, mesh, h, w,
                                 precision=config.precision)[..., :h, :w]
     out = colorspace.yiq_to_rgb(
-        jnp.concatenate([y[..., None], yiq[..., 1:]], axis=-1))
+        jnp.concatenate([y[..., None], yiq[..., :h, :, 1:]], axis=-1))
     if quantize:
         out = colorspace.f32_to_u8(out)
     return out
 
 
-def _row_sharding(rgb, mesh: Mesh) -> NamedSharding:
-    """Row-sharded placement when H divides evenly, replicated otherwise
-    (the jitted body pads and re-shards internally either way)."""
-    if rgb.shape[0] % mesh.shape[SPATIAL_AXIS] == 0:
-        return NamedSharding(mesh, P(SPATIAL_AXIS, None, None))
-    return NamedSharding(mesh, P())
+def _place_row_sharded(img, mesh: Mesh):
+    """Zero-pad rows to spatial-axis divisibility and place P(spatial, ...).
+
+    Padding happens on the host BEFORE device_put so the image is always
+    genuinely row-sharded -- a replicated fallback would reinstate the
+    per-device memory ceiling for exactly the images this path exists for
+    (single images too large for one chip).
+    """
+    import numpy as np
+
+    nsp = mesh.shape[SPATIAL_AXIS]
+    hp = padded_size(img.shape[0], nsp)
+    if hp != img.shape[0]:
+        img = np.asarray(img)
+        img = np.pad(img, ((0, hp - img.shape[0]),) + ((0, 0),) * (img.ndim - 1))
+    return jax.device_put(
+        img, NamedSharding(mesh, P(*((SPATIAL_AXIS,) + (None,) * (img.ndim - 1)))))
 
 
 def embed_spatial(rgb, marks, mesh: Mesh,
                   config: WriteConfig = WriteConfig(), quantize=True):
     """TP embed of ONE (H, W, 3) image sharded spatially over the mesh.
 
-    Any H x W is accepted (non-divisible sizes are zero-padded internally,
-    mirroring the reference's arbitrary-size support, src/dct2d.rs:83-98).
-    Input is placed row-sharded; output is returned row-sharded (same layout).
+    Any H x W is accepted (non-divisible sizes are zero-padded on the host,
+    mirroring the reference's arbitrary-size support, src/dct2d.rs:83-98, and
+    then row-sharded so no device ever holds the full image). Returns the
+    (H, W, 3) result.
     """
     if marks.ndim == 1:
         marks = marks[None]
-    rgb = jax.device_put(rgb, _row_sharding(rgb, mesh))
+    h = rgb.shape[0]
+    rgb = _place_row_sharded(rgb, mesh)
     marks = jax.device_put(marks, NamedSharding(mesh, P()))
-    return _embed_spatial_jit(rgb, marks, mesh, config, quantize)
+    return _embed_spatial_jit(rgb, marks, mesh, config, quantize, h)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "config", "n"))
-def _extract_spatial_jit(base, derived, n, mesh, config):
-    h, w = base.shape[0], base.shape[1]
+@functools.partial(jax.jit, static_argnames=("mesh", "config", "n", "h"))
+def _extract_spatial_jit(base, derived, n, mesh, config, h):
+    # Inputs arrive row-padded to divisibility and row-sharded; ``h`` is the
+    # true height (see _place_row_sharded).
+    w = base.shape[1]
     nspatial = mesh.shape[SPATIAL_AXIS]
-    hp, wp = padded_size(h, nspatial), padded_size(w, nspatial)
+    hp, wp = base.shape[0], padded_size(w, nspatial)
     yb = _pad_last2(colorspace.rgb_to_yiq(pipeline._to_f32(base))[..., 0], hp, wp)
     yd = _pad_last2(colorspace.rgb_to_yiq(pipeline._to_f32(derived))[..., 0], hp, wp)
     cb = dct2_2d_sharded_padded(yb, mesh, h, w, precision=config.precision)
@@ -189,7 +207,7 @@ def extract_spatial(base, derived, n: int, mesh: Mesh,
             "Derived coefficient length not equal to base coefficient length.")
     if n >= base.shape[0] * base.shape[1]:
         raise ValueError("Desired extraction length exceeds available coefficients.")
-    sh = _row_sharding(base, mesh)
-    base = jax.device_put(base, sh)
-    derived = jax.device_put(derived, sh)
-    return _extract_spatial_jit(base, derived, n, mesh, config)
+    h = base.shape[0]
+    base = _place_row_sharded(base, mesh)
+    derived = _place_row_sharded(derived, mesh)
+    return _extract_spatial_jit(base, derived, n, mesh, config, h)

@@ -184,3 +184,19 @@ def test_batch_failure_isolation_and_resume(workdir, capsys):
     out = capsys.readouterr().out
     assert "embedded 1 images" in out
     assert (d / "corrupt_wm.png").exists()
+
+
+def test_precision_flag_roundtrip(workdir, capsys):
+    # The benched production path (HIGH) must be reachable from the CLI
+    # (round-2 VERDICT weak item 5): embed at --precision high, then test at
+    # the same tier -- the embedded mark must match at >6 sigma.
+    rc = cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "11",
+                   "--precision", "high", "-p"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "exceeds 6 sigma: true" in out
+    rc = cli.main(["test", "--precision", "high", str(workdir / "cat.jpg"),
+                   str(workdir / "cat_wm.png"), str(workdir / "cat_wm.json")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Matches: true" in out

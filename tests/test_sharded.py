@@ -196,3 +196,17 @@ def test_joint_data_spatial_mesh(cat_image):
     dp_diff = np.abs(dp_want.astype(int) - dp.astype(int))
     assert (dp_diff > 1).mean() == 0.0
     assert (dp_diff > 0).mean() < 0.02, (dp_diff > 0).mean()
+
+
+def test_place_row_sharded_never_replicates(spatial_mesh, cat_image):
+    # Non-divisible heights must still be genuinely row-sharded (round-2
+    # ADVICE item 3): a replicated fallback would reinstate the per-device
+    # memory ceiling for exactly the oversized single images TP exists for.
+    placed = pipeline_sharded._place_row_sharded(cat_image, spatial_mesh)
+    hp = placed.shape[0]
+    assert hp % 8 == 0 and hp >= cat_image.shape[0]
+    shard_rows = {s.data.shape[0] for s in placed.addressable_shards}
+    assert shard_rows == {hp // 8}, shard_rows
+    np.testing.assert_array_equal(
+        np.asarray(placed)[: cat_image.shape[0]], cat_image)
+    assert not np.any(np.asarray(placed)[cat_image.shape[0]:])
