@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import Precision, ReadConfig, WriteConfig, jax_precision
+from ..config import Method, Precision, ReadConfig, WriteConfig, jax_precision
 from ..ops import colorspace, dct, fused_dct, modulation, ranking
 
 
@@ -100,12 +100,18 @@ def _shorter_axis(h: int, w: int) -> int:
 def _half_pass(rgb: jax.Array, precision, ax: int,
                allow_fused: bool) -> jax.Array:
     """Luma + one DCT-II pass along ``ax``, dispatched to the fused Pallas
-    kernel on TPU when eligible (uint8, landscape, non-HIGHEST --
-    :func:`..ops.fused_dct.supported`), else the XLA formulation."""
-    if (ax == -2 and allow_fused
-            and fused_dct.supported(rgb.shape, rgb.dtype, precision)):
-        return fused_dct.luma_row_pass(rgb, precision)
+    kernel on TPU when eligible (:func:`..ops.fused_dct.supported`), else the
+    XLA formulation. At DEFAULT precision the XLA pass runs as a single bf16
+    dot on a bf16 luma plane (bf16 T storage); at HIGH as XLA's 3-pass bf16
+    decomposition of the f32 luma. ``ax`` is always the shorter image axis
+    (:func:`_shorter_axis`), which is also the axis the kernel contracts."""
+    if allow_fused and fused_dct.supported(rgb.shape, rgb.dtype, precision):
+        return fused_dct.luma_pass(rgb, precision, out_dtype=jnp.bfloat16)
     y = colorspace.rgb_to_luma(_to_f32(rgb))
+    if precision is Precision.DEFAULT:
+        return dct.dct2_pass(y.astype(jnp.bfloat16), axis=ax,
+                             precision=Precision.DEFAULT,
+                             out_dtype=jnp.bfloat16)
     return dct.dct2_pass(y, axis=ax, precision=precision)
 
 
@@ -115,76 +121,57 @@ def _rank_and_values_fast(
     ordering,
     precision,
     custom_metric=None,
-    allow_fused: bool = True,
-) -> Tuple[jax.Array, jax.Array, tuple]:
-    """Production prologue: ranked indices + exact coefficient values.
+) -> Tuple[jax.Array, jax.Array]:
+    """Production prologue: ranked indices + coefficient values, delta-exact.
 
-    Never materializes the full coefficient plane at working precision.
-    One half-pass ``T`` over the shorter axis is shared by both consumers:
+    Computes the full coefficient plane in two MXU passes (the second always
+    a single bf16 dot with f32 accumulation), ranks it with
+    :func:`..ops.ranking.approx_top_indices` (TPU PartialReduce), and reads
+    the n touched values (reference: src/algorithm.rs:382-410 writes,
+    :543-562 reads) with one flat gather -- no gather-dot reconstruction.
 
-      * ranking: the other half-pass runs once in bf16 producing a
-        *metric-only* plane, ranked with :func:`..ops.ranking.approx_top_indices`
-        (TPU PartialReduce) -- the plane's values are never needed;
-      * values: the n coefficients the modulation actually touches
-        (reference: src/algorithm.rs:382-410 writes, :543-562 reads) are
-        finished from ``T`` by a gather-dot at full precision.
+    The values carry the plane's bf16-dot rounding (~0.4% relative). That is
+    exact *by construction* for detection: the Writer embeds
+    ``delta = vals_est * alpha * w`` and the Reader divides the recovered
+    delta by the bit-identical ``vals_est`` (same function of the same base
+    image), so the estimate cancels out of the extracted mark entirely --
+    only u8 quantization noise remains, same as the reference-exact path.
+    See :func:`_extract_fast` for the matching delta-side read.
 
-    On TPU with uint8 input the half-pass runs through the fused Pallas
-    kernel (:mod:`..ops.fused_dct`): luma conversion happens in-kernel so the
-    f32 luma plane never touches HBM. The folded kernel variant
-    (``fused_dct.USE_FOLD``) additionally halves the MXU FLOPs and returns an
-    even/odd stacked row layout, so ranking goes through the index-mapped
-    variant and downstream gather-dots use layout positions; the *returned*
-    indices are always true row-major flat indices either way.
-
-    vs the reference's Writer/Reader prologue (full 2-D transform + full
-    comparison sort, src/algorithm.rs:308-342, 200-210): ~2.3x less matmul
-    work and ~3x cheaper ranking at 1080p.
-
-    Returns ``(idx, vals, ctx)`` where ``ctx`` lets the read path run the
-    derived image through the identical transform: ``("folded", lidx)`` or
-    ``("plain", ax)``.
+    vs the reference's Writer/Reader prologue (full f32 transform + full
+    comparison sort over W*H, src/algorithm.rs:308-342, 200-210): the same
+    two-pass structure, but bf16 MXU dots, PartialReduce ranking, and a
+    gather instead of a sort-everything.
     """
     h, w = rgb.shape[-3], rgb.shape[-2]
-    allow_fused = allow_fused and custom_metric is None
-    if (allow_fused and fused_dct.USE_FOLD
-            and fused_dct.supported(rgb.shape, rgb.dtype, precision,
-                                    fold=True)):
-        t = fused_dct.luma_fold_row_pass(rgb, precision)
-        rank_plane = dct.dct2_pass(
-            t.astype(jnp.bfloat16), axis=-1, precision=Precision.DEFAULT)
-        imap = jnp.asarray(fused_dct.true_index_map(h, w))
-        with jax.named_scope("ssw.rank"):
-            idx, lidx = ranking.approx_top_indices_mapped(
-                rank_plane, n, ordering, imap, h, w)
-        vals = dct.dct2_dot_at(t, lidx, contracted_axis=-2,
-                               precision=precision)
-        return idx, vals, ("folded", lidx)
     ax = _shorter_axis(h, w)
-    t = _half_pass(rgb, precision, ax, allow_fused)
+    t = _half_pass(rgb, precision, ax, custom_metric is None)
     other = -1 if ax == -2 else -2
-    rank_plane = dct.dct2_pass(
-        t.astype(jnp.bfloat16), axis=other, precision=Precision.DEFAULT)
+    plane = dct.dct2_pass(
+        t if t.dtype == jnp.bfloat16 else t.astype(jnp.bfloat16),
+        axis=other, precision=Precision.DEFAULT)  # f32 accumulation out
     with jax.named_scope("ssw.rank"):
-        idx = ranking.approx_top_indices(rank_plane, n, ordering,
+        idx = ranking.approx_top_indices(plane, n, ordering,
                                          custom_metric=custom_metric)
-    vals = dct.dct2_dot_at(t, idx, contracted_axis=ax, precision=precision)
-    return idx, vals, ("plain", ax)
+    flat = plane.reshape(*plane.shape[:-2], h * w)
+    vals = _batched_gather(flat, idx)
+    return idx, vals
 
 
 def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
                 quantize: bool) -> jax.Array:
-    """Fast embed path (non-HIGHEST precisions): shared half-pass + sparse
-    everything. Same algorithm as :func:`embed`'s reference-exact path; the
-    transform/ranking internals trade exact tie order and ~1.5% of boundary
-    rank selections for ~1.6x throughput (see ``approx_top_indices``).
-    Writer and Reader agree exactly because both derive indices from the base
-    image with the same deterministic code."""
+    """Fast embed path (non-HIGHEST precisions): two-pass bf16 transform +
+    sparse everything. Same algorithm as :func:`embed`'s reference-exact
+    path; the transform/ranking internals trade exact tie order and ~1.5% of
+    boundary rank selections for throughput (see ``approx_top_indices``), and
+    the bf16 value estimates cancel out of detection entirely (see
+    :func:`_rank_and_values_fast`). Writer and Reader agree exactly because
+    both derive indices and values from the base image with the same
+    deterministic code."""
     n = marks.shape[-1]
     h, w = rgb.shape[-3], rgb.shape[-2]
-    rgbf = _to_f32(rgb)
     with jax.named_scope("ssw.forward"):
-        idx, original, _ = _rank_and_values_fast(
+        idx, original = _rank_and_values_fast(
             rgb, n, config.ordering, config.precision, config.custom_ordering)
     if marks.ndim == 2:  # (M, N) shared across batch -> (B, M, N)
         marks = jnp.broadcast_to(marks[None],
@@ -200,39 +187,60 @@ def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
         # perturbation, so bf16's ~0.4% relative error on it is ~0.04% of
         # the watermark signal -- invisible in sim (31.25 vs 31.24 sigma on
         # the cat-image gate) and 2.4x cheaper than the 3-pass form.
-        dy = _sparse_idct_delta(
-            new_values - original, idx, h, w, Precision.DEFAULT)
-        out = jnp.clip(rgbf + dy[..., None], 0.0, 1.0)
+        delta = new_values - original
+        if quantize and fused_dct.supported_epilogue(rgb.shape, rgb.dtype, n):
+            # Fused u8 -> u8 epilogue: the delta-IDCT matmul, add, clip and
+            # quantize in one kernel; neither the f32 RGB batch nor the f32
+            # dY plane ever exists in HBM.
+            return fused_dct.embed_epilogue(rgb, delta, idx)
+        dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
+        out = jnp.clip(_to_f32(rgb) + dy[..., None], 0.0, 1.0)
     return colorspace.f32_to_u8(out) if quantize else out
 
 
 def _extract_fast(base: jax.Array, derived: jax.Array, n: int,
                   config: ReadConfig) -> jax.Array:
-    """Fast read path (non-HIGHEST): base prologue shared with
-    :func:`_embed_fast`; the derived image gets one half-pass + gather-dot
-    (its coefficients are only read at the base's n ranked indices,
-    reference src/algorithm.rs:556-561)."""
+    """Fast read path (non-HIGHEST): transform the *difference*.
+
+    The base prologue is shared bit-for-bit with :func:`_embed_fast` (the
+    dispatch keys on the base image alone, so Writer and Reader always rank
+    through the same code path). The derived image is never transformed on
+    its own: every extraction equation consumes ``derived - base`` (or their
+    ratio, reference src/algorithm.rs:566-593), and the DCT is linear, so the
+    numerator is computed by transforming ``luma(derived) - luma(base)``
+    directly. On that delta signal a single-pass bf16 transform is accurate
+    to ~0.4% *of the delta* -- the catastrophic-cancellation risk of
+    subtracting two separately-computed large coefficient sets (where bf16
+    rounding of the operands is ~4x the signal) disappears, which is what
+    lets the whole read path run at bf16 speed with reference-grade output.
+    """
     with jax.named_scope("ssw.forward"):
-        # Base and derived must take the same transform path (the derived
-        # gather-dot reads layout positions from the base's ranking).
-        allow_fused = base.dtype == derived.dtype
-        idx, base_vals, ctx = _rank_and_values_fast(
+        idx, base_vals = _rank_and_values_fast(
             base, n, config.ordering, config.precision,
-            config.custom_ordering, allow_fused=allow_fused)
-        if ctx[0] == "folded":
-            td = fused_dct.luma_fold_row_pass(derived, config.precision)
-            derived_vals = dct.dct2_dot_at(
-                td, ctx[1], contracted_axis=-2, precision=config.precision)
-        else:
-            ax = ctx[1]
-            td = _half_pass(derived, config.precision, ax, allow_fused)
-            derived_vals = dct.dct2_dot_at(
-                td, idx, contracted_axis=ax, precision=config.precision)
+            config.custom_ordering)
+        h, w = base.shape[-3], base.shape[-2]
+        ax = _shorter_axis(h, w)
+        other = -1 if ax == -2 else -2
+        ydiff = colorspace.luma_diff(base, derived)
+        td = dct.dct2_pass(ydiff.astype(jnp.bfloat16), axis=ax,
+                           precision=Precision.DEFAULT,
+                           out_dtype=jnp.bfloat16)
+        dplane = dct.dct2_pass(td, axis=other, precision=Precision.DEFAULT)
+        num = _batched_gather(dplane.reshape(*dplane.shape[:-2], h * w), idx)
     if config.custom_extract is not None:
-        return config.custom_extract(idx, base_vals, derived_vals)
-    return modulation.extract_values(
-        config.extraction.method, config.extraction.alpha, base_vals,
-        derived_vals)
+        # Custom closures see (idx, base, derived) like the reference's
+        # Extraction::Custom (src/algorithm.rs:123); the derived values are
+        # reconstructed as base + delta (differences exact, ratios to the
+        # plane's bf16-dot tolerance).
+        return config.custom_extract(idx, base_vals, base_vals + num)
+    method, alpha = config.extraction.method, config.extraction.alpha
+    if method == Method.OPTION1:  # (d - b) / alpha
+        return num / alpha
+    if method == Method.OPTION2:  # (d - b) / (b * alpha)
+        return num / (base_vals * alpha)
+    if method == Method.OPTION3:  # ln(d / b) / alpha = log1p(num / b) / alpha
+        return jnp.log1p(num / base_vals) / alpha
+    raise ValueError(f"unknown method {method}")
 
 
 @functools.partial(jax.jit, static_argnames=("config", "quantize", "sparse_idct"))

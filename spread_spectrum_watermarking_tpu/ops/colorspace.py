@@ -75,6 +75,27 @@ def rgb_to_luma(rgb: jax.Array) -> jax.Array:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def luma_diff(base: jax.Array, derived: jax.Array) -> jax.Array:
+    """Luma plane of (derived - base): (..., 3) pairs -> (...).
+
+    For u8/u8 inputs the channel difference is computed in exact integer
+    arithmetic (|30 dR + 59 dG + 11 dB| <= 25500 < 2^24 is exact in f32), so
+    the only rounding is the final /25500 -- strictly more accurate than
+    subtracting two separately rounded lumas, because the subtraction never
+    cancels. The signal the non-blind read path extracts is exactly this
+    difference (reference: src/algorithm.rs:566-593, every extraction
+    equation consumes ``derived - base`` or ``derived / base``).
+    """
+    if base.dtype == jnp.uint8 and derived.dtype == jnp.uint8:
+        d = derived.astype(jnp.int32) - base.astype(jnp.int32)
+        num = (30 * d[..., 0] + 59 * d[..., 1] + 11 * d[..., 2])
+        return num.astype(jnp.float32) / 25500.0
+    return rgb_to_luma(derived.astype(jnp.float32)
+                       if derived.dtype != jnp.uint8 else u8_to_f32(derived)) \
+        - rgb_to_luma(base.astype(jnp.float32)
+                      if base.dtype != jnp.uint8 else u8_to_f32(base))
+
+
 def yiq_to_rgb(yiq: jax.Array) -> jax.Array:
     """Convert (..., 3) YIQ to RGB, clamping each channel to [0, 1].
 

@@ -1,13 +1,14 @@
-"""Tests for the folded fused luma+DCT Pallas kernel (ops/fused_dct.py).
+"""Tests for the fused Pallas prologue/epilogue kernels (ops/fused_dct.py).
 
-Runs the kernel in Pallas interpret mode on CPU and checks it against the
-plain XLA formulation (colorspace.rgb_to_luma + dct.dct2_pass), the layout
-index map, the mapped ranking, and the full pipeline dispatch.
+Runs the kernels in Pallas interpret mode on CPU and checks them against the
+plain XLA formulations (colorspace + dct ops), the VMEM plans, and the full
+pipeline dispatch.
 
-The kernel replaces the reference's serial per-row DCT prologue
-(reference: src/algorithm.rs:308-342, src/dct2d.rs:83-219) on TPU; these
-tests pin its numerics so the on-chip path is covered by the same contract
-as the XLA path.
+The prologue replaces the reference's serial per-row DCT forward pass
+(reference: src/algorithm.rs:308-342, src/dct2d.rs:83-219); the epilogue
+replaces its full inverse transform + ``into_rgb8`` quantization
+(src/algorithm.rs:361-379, examples/main.rs:278). These tests pin the kernel
+numerics so the on-chip path is covered by the same contract as the XLA path.
 """
 
 import jax
@@ -19,8 +20,7 @@ import spread_spectrum_watermarking_tpu as wm
 from spread_spectrum_watermarking_tpu.config import (
     Precision, ReadConfig, WriteConfig)
 from spread_spectrum_watermarking_tpu.models import pipeline
-from spread_spectrum_watermarking_tpu.ops import (
-    colorspace, dct, fused_dct, ranking)
+from spread_spectrum_watermarking_tpu.ops import colorspace, dct, fused_dct
 
 
 def _rand_rgb(b, h, w, seed=0):
@@ -28,101 +28,135 @@ def _rand_rgb(b, h, w, seed=0):
     return jnp.asarray(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
 
 
-def _xla_pass(rgb, precision):
+def _xla_pass(rgb, precision, h, w):
     y = colorspace.rgb_to_luma(rgb.astype(jnp.float32) / 255.0)
-    return dct.dct2_pass(y, axis=-2, precision=precision)
+    ax = -2 if h <= w else -1
+    return dct.dct2_pass(y, axis=ax, precision=precision)
 
 
-@pytest.mark.parametrize("h,w", [(64, 128), (128, 384), (444, 640)])
-def test_fold_pass_matches_xla(h, w):
-    rgb = _rand_rgb(2, h, w)
-    folded = fused_dct.luma_fold_row_pass(rgb, Precision.HIGH, interpret=True)
-    got = fused_dct.unfold_rows(folded, h)
-    ref = _xla_pass(rgb, Precision.HIGHEST)
+# landscape, odd-H landscape, the reference cat, portrait, odd portrait
+SHAPES = [(64, 128), (111, 384), (444, 640), (128, 64), (384, 111)]
+
+
+@pytest.mark.parametrize("h,w", SHAPES)
+def test_luma_pass_matches_xla_high(h, w):
+    rgb = _rand_rgb(2, h, w, seed=1)
+    got = fused_dct.luma_pass(rgb, Precision.HIGH, interpret=True)
+    assert got.shape == (2, h, w)
+    ref = _xla_pass(rgb, Precision.HIGHEST, h, w)
     # HIGH is a 3-pass bf16 tier; compare against the f32 oracle with the
     # tier's tolerance and require the kernel to be at least as accurate as
     # XLA's own HIGH pass.
-    xla_high_err = float(jnp.abs(_xla_pass(rgb, Precision.HIGH) - ref).max())
+    xla_high_err = float(jnp.abs(_xla_pass(rgb, Precision.HIGH, h, w) - ref).max())
     kernel_err = float(jnp.abs(got - ref).max())
     assert kernel_err <= max(xla_high_err * 1.5, 1e-3 * float(jnp.abs(ref).max()))
 
 
-@pytest.mark.parametrize("h,w", [(64, 128), (111, 384), (444, 640)])
-def test_dense_pass_matches_xla(h, w):
-    """The production dense kernel (true row order, odd H allowed)."""
-    rgb = _rand_rgb(2, h, w, seed=1)
-    got = fused_dct.luma_row_pass(rgb, Precision.HIGH, interpret=True)
-    assert got.shape == (2, h, w)
-    ref = _xla_pass(rgb, Precision.HIGHEST)
-    xla_high_err = float(jnp.abs(_xla_pass(rgb, Precision.HIGH) - ref).max())
-    kernel_err = float(jnp.abs(got - ref).max())
-    assert kernel_err <= max(xla_high_err * 1.5, 1e-3 * float(jnp.abs(ref).max()))
-
-
-def test_fold_pass_default_precision():
-    h, w = 64, 128
+@pytest.mark.parametrize("h,w", [(64, 128), (128, 64)])
+def test_luma_pass_default_precision(h, w):
     rgb = _rand_rgb(1, h, w, seed=3)
-    folded = fused_dct.luma_fold_row_pass(rgb, Precision.DEFAULT,
-                                          interpret=True)
-    got = fused_dct.unfold_rows(folded, h)
-    ref = _xla_pass(rgb, Precision.HIGHEST)
+    got = fused_dct.luma_pass(rgb, Precision.DEFAULT, interpret=True)
+    ref = _xla_pass(rgb, Precision.HIGHEST, h, w)
     scale = float(jnp.abs(ref).max())
     # single bf16 dot: ~2^-8 relative
     assert float(jnp.abs(got - ref).max()) < 0.02 * scale
 
 
-def test_true_index_map():
-    h, w = 444, 640
-    kp = fused_dct.kp_for(h)
-    m = fused_dct.true_index_map(h, w)
-    assert m.shape == (2 * kp, w)
-    # even block
-    assert m[0, 0] == 0
-    assert m[1, 5] == 2 * w + 5
-    # odd block
-    assert m[kp, 0] == w
-    assert m[kp + 3, 7] == 7 * w + 7
-    # padding rows -> sentinel
-    assert (m[h // 2: kp] == h * w).all()
-    assert (m[kp + h // 2:] == h * w).all()
-    # bijection over valid entries
-    valid = np.asarray(m[m < h * w])
-    assert valid.size == h * w
-    assert np.unique(valid).size == h * w
-
-
-def test_mapped_ranking_consistent_with_plain():
+def test_luma_pass_bf16_out():
     h, w = 64, 128
-    rng = np.random.default_rng(7)
-    plane = jnp.asarray(rng.normal(size=(2, h, w)).astype(np.float32))
-    kp = fused_dct.kp_for(h)
-    # fold the plane's rows into the kernel's layout
-    pad = jnp.zeros((2, kp - h // 2, w), plane.dtype)
-    folded = jnp.concatenate(
-        [plane[:, 0::2], pad, plane[:, 1::2], pad], axis=1)
-    imap = jnp.asarray(fused_dct.true_index_map(h, w))
-    for ordering in (wm.Ordering.ENERGY, wm.Ordering.ENERGY_ORTHOGONAL,
-                     wm.Ordering.LEGACY):
-        tidx, lidx = ranking.approx_top_indices_mapped(
-            folded, 100, ordering, imap, h, w)
-        exact = ranking.top_indices(plane, 100, ordering)
-        # layout positions map back to the returned true indices
-        assert (jnp.take(imap.reshape(-1), lidx) == tidx).all()
-        # approx recall against the exact ranking
-        recall = np.mean([
-            np.isin(np.asarray(tidx[i]), np.asarray(exact[i])).mean()
-            for i in range(2)
-        ])
-        assert recall > 0.9, f"{ordering}: recall {recall}"
-        assert not (tidx == 0).any()  # DC excluded
-        assert (tidx < h * w).all()  # no padding sentinel selected
+    rgb = _rand_rgb(1, h, w, seed=5)
+    got = fused_dct.luma_pass(rgb, Precision.HIGH, out_dtype=jnp.bfloat16,
+                              interpret=True)
+    assert got.dtype == jnp.bfloat16
+    ref = _xla_pass(rgb, Precision.HIGHEST, h, w)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got.astype(jnp.float32) - ref).max()) < 0.02 * scale
 
 
-@pytest.mark.parametrize("fold", [False, True])
-def test_pipeline_fused_dispatch_roundtrip(cat_image, fold):
+def test_plans_production_shapes():
+    # 1080p: resident basis at both tiers (TH == padded H -> one chunk).
+    for nd in (1, 3):
+        plan = fused_dct._row_pass_plan(1080, 1920, nd, 2)
+        assert plan is not None
+        th, tw, kp, hp, wp = plan
+        assert th == hp, (nd, plan)  # resident
+    # 4K DEFAULT: resident; 4K HIGH: falls back to streamed panels but is
+    # still eligible (the round-2 kernels were not).
+    plan = fused_dct._row_pass_plan(2160, 3840, 1, 2)
+    assert plan is not None and plan[0] == plan[3]
+    plan = fused_dct._row_pass_plan(2160, 3840, 3, 2)
+    assert plan is not None and plan[0] < plan[3]
+    # portrait 4K
+    assert fused_dct._col_pass_plan(3840, 2160, 1, 2) is not None
+
+
+def test_supported_gates():
+    u8, f32 = jnp.uint8, jnp.float32
+    fused_dct._FORCE_INTERPRET = True
+    try:
+        assert fused_dct.supported((1, 1080, 1920, 3), u8, Precision.HIGH)
+        assert fused_dct.supported((1, 2160, 3840, 3), u8, Precision.HIGH)
+        assert fused_dct.supported((1, 1920, 1080, 3), u8, Precision.DEFAULT)
+        assert not fused_dct.supported((1, 64, 128, 3), f32, Precision.HIGH)
+        assert not fused_dct.supported((1, 64, 128, 3), u8, Precision.HIGHEST)
+        assert not fused_dct.supported((1, 16, 128, 3), u8, Precision.HIGH)
+    finally:
+        fused_dct._FORCE_INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# Epilogue
+# ---------------------------------------------------------------------------
+
+
+def _xla_epilogue(rgb, delta, idx, h, w):
+    dy = pipeline._sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
+    out = jnp.clip(rgb.astype(jnp.float32) / 255.0 + dy[..., None], 0.0, 1.0)
+    return colorspace.f32_to_u8(out)
+
+
+@pytest.mark.parametrize("h,w", [(64, 128), (111, 128), (444, 640)])
+def test_embed_epilogue_matches_xla(h, w):
+    b, n = 2, 100
+    rgb = _rand_rgb(b, h, w, seed=7)
+    rng = np.random.default_rng(11)
+    # distinct indices per image, alpha-scale deltas on O(100) coefficients
+    idx = jnp.asarray(np.stack([
+        rng.choice(h * w, n, replace=False) for _ in range(b)
+    ]).astype(np.int32))
+    delta = jnp.asarray(rng.normal(scale=20.0, size=(b, n)).astype(np.float32))
+    got = fused_dct.embed_epilogue(rgb, delta, idx, interpret=True)
+    ref = _xla_epilogue(rgb, delta, idx, h, w)
+    assert got.shape == ref.shape and got.dtype == jnp.uint8
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+    # both sides run the delta-IDCT as a single bf16 dot; the only divergence
+    # is where the scale multiply is applied, which can flip a quantization
+    # boundary on a small fraction of pixels by one step.
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 0.02
+
+
+def test_supported_epilogue_gates():
+    u8, f32 = jnp.uint8, jnp.float32
+    fused_dct._FORCE_INTERPRET = True
+    try:
+        assert fused_dct.supported_epilogue((4, 1080, 1920, 3), u8, 1000)
+        assert fused_dct.supported_epilogue((4, 2160, 3840, 3), u8, 1000)
+        assert fused_dct.supported_epilogue((1, 444, 640, 3), u8, 1000)
+        assert not fused_dct.supported_epilogue((1, 444, 641, 3), u8, 1000)
+        assert not fused_dct.supported_epilogue((1, 444, 640, 3), f32, 1000)
+    finally:
+        fused_dct._FORCE_INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# Pipeline dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_fused_dispatch_roundtrip(cat_image):
     """Full embed+extract through the Pallas path (interpret mode) is
-    detection-equivalent to the plain fast path, for both the dense
-    (production) and folded kernel variants."""
+    detection-equivalent to the plain fast path."""
     rgb = jnp.asarray(cat_image)[None]
     key = jax.random.PRNGKey(11)
     mark = wm.generate_normal(key, 1000)
@@ -134,17 +168,15 @@ def test_pipeline_fused_dispatch_roundtrip(cat_image, fold):
     sim_plain = float(pipeline.similarity(ext_plain[0], mark[None])[0])
 
     fused_dct._FORCE_INTERPRET = True
-    fused_dct.USE_FOLD = fold
     jax.clear_caches()
     try:
-        assert fused_dct.supported(rgb.shape, rgb.dtype, Precision.HIGH,
-                                   fold=fold)
+        assert fused_dct.supported(rgb.shape, rgb.dtype, Precision.HIGH)
+        assert fused_dct.supported_epilogue(rgb.shape, rgb.dtype, 1000)
         marked = pipeline.embed(rgb, mark, wcfg)
         ext = pipeline.extract(rgb, marked, 1000, rcfg)
         sim = float(pipeline.similarity(ext[0], mark[None])[0])
     finally:
         fused_dct._FORCE_INTERPRET = False
-        fused_dct.USE_FOLD = False
         jax.clear_caches()
 
     # both paths detect strongly and agree closely
@@ -159,14 +191,3 @@ def test_pipeline_fused_dispatch_roundtrip(cat_image, fold):
     d_fused = np.abs(np.asarray(marked[0], np.int32) - base).mean()
     d_plain = np.abs(np.asarray(marked_plain[0], np.int32) - base).mean()
     assert abs(d_fused - d_plain) < 0.25 * max(d_plain, 0.5)
-
-
-def test_supported_gates():
-    assert not fused_dct.supported((1, 65, 128, 3), jnp.uint8,
-                                   Precision.HIGH, fold=True)  # odd H: no fold
-    assert not fused_dct.supported((1, 128, 64, 3), jnp.uint8,
-                                   Precision.HIGH)  # portrait
-    assert not fused_dct.supported((1, 64, 128, 3), jnp.float32,
-                                   Precision.HIGH)  # not u8
-    assert not fused_dct.supported((1, 64, 128, 3), jnp.uint8,
-                                   Precision.HIGHEST)  # exact tier

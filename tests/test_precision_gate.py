@@ -49,12 +49,13 @@ def test_fast_path_self_similarity_at_benched_precision(cat_image, precision):
     assert abs(nsim) < 2.0, nsim
 
 
-def test_fast_path_attacks_at_benched_precision(cat_image):
+@pytest.mark.parametrize("precision", [Precision.HIGH, Precision.DEFAULT])
+def test_fast_path_attacks_at_benched_precision(cat_image, precision):
     from PIL import Image
 
     mark = rng_compat.generate_fixed_normal_sequence(2, N)
-    wcfg = WriteConfig(precision=Precision.HIGH)
-    rcfg = ReadConfig(precision=Precision.HIGH)
+    wcfg = WriteConfig(precision=precision)
+    rcfg = ReadConfig(precision=precision)
     marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark), wcfg))
     h, w = cat_image.shape[:2]
 
