@@ -11,6 +11,18 @@ Two scaling modes (SURVEY.md section 2.1):
   (dct_sharded.py) plus the distributed top-k (topk_sharded.py), with
   modulation running replicated on the gathered top-n values and scattered
   back into the column-sharded coefficient layout.
+
+- :func:`embed_corpus` / :func:`extract_corpus`: joint DP x TP for a corpus
+  of images each too large for one chip (BASELINE config 5: a 4K corpus
+  sharded across a multi-host pod). One shard_map over BOTH mesh axes: the
+  batch is split over ``data``, each image's rows over ``spatial``. The
+  forward transform is the sharded DCT (one all-to-all per image over the
+  spatial axis only -- lays on ICI when ``spatial`` is the minor mesh axis);
+  the inverse is a purely LOCAL sparse delta-IDCT: after the distributed
+  top-k replicates the (n,) modulated deltas over the spatial axis, each
+  device reconstructs dY for its own row block with one skinny matmul, so
+  the write-back needs no collective at all and only luma is ever touched
+  (RGB' = clamp(RGB + dY), the Y column of YIQ->RGB being [1,1,1]).
 """
 
 from __future__ import annotations
@@ -23,9 +35,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..config import ReadConfig, WriteConfig
+from ..config import ReadConfig, WriteConfig, jax_precision
 from ..models import pipeline
 from ..ops import colorspace, modulation
+from ..ops.dct import dct3_basis
 from .dct_sharded import (_pad_last2, dct2_2d_sharded_padded,
                           idct2_2d_sharded_padded, padded_size)
 from .mesh import DATA_AXIS, SPATIAL_AXIS
@@ -211,3 +224,191 @@ def extract_spatial(base, derived, n: int, mesh: Mesh,
     base = _place_row_sharded(base, mesh)
     derived = _place_row_sharded(derived, mesh)
     return _extract_spatial_jit(base, derived, n, mesh, config, h)
+
+
+# ---------------------------------------------------------------------------
+# Joint DP x TP corpus pipelines (BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_forward(rgb_blk, ch, cw, precision):
+    """Local (Bl, Hp/s, W, 3) row block -> (Bl, Hp, Wp/s) column-sharded
+    coefficients: luma, local row pass over W, one all-to-all over the
+    spatial axis, local column pass over H. The batch axis rides along."""
+    p = jax_precision(precision)
+    y = colorspace.rgb_to_luma(pipeline._to_f32(rgb_blk))  # (Bl, Hl, W)
+    wp = cw.shape[0]
+    if y.shape[-1] != wp:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, wp - y.shape[-1])))
+    t = jnp.einsum("...hw,lw->...hl", y, cw, precision=p)
+    t = jax.lax.all_to_all(t, SPATIAL_AXIS, split_axis=t.ndim - 1,
+                           concat_axis=t.ndim - 2, tiled=True)
+    return jnp.einsum("km,...mw->...kw", ch, t, precision=p)
+
+
+def _gather_replicated(coef_blk, idx, width):
+    """Replicated (n,) values at global flat ``idx`` from a (Hp, Wp/s)
+    column block (psum of the owner's gathers)."""
+    wb = coef_blk.shape[-1]
+    my_id = jax.lax.axis_index(SPATIAL_AXIS)
+    rows, cols = idx // width, idx % width
+    mine = (cols // wb) == my_id
+    local_flat = rows * wb + (cols - my_id * wb)
+    safe = jnp.where(mine, local_flat, 0)
+    vals = jnp.where(mine, coef_blk.reshape(-1)[safe], 0.0)
+    return jax.lax.psum(vals, SPATIAL_AXIS)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "config", "h", "w"))
+def _embed_corpus_jit(rgb, marks, mesh, config, h, w):
+    hp = rgb.shape[1]
+    ns = mesh.shape[SPATIAL_AXIS]
+    wp = padded_size(w, ns)
+    from .dct_sharded import _dct2_basis_padded
+    ch = jnp.asarray(_dct2_basis_padded(h, hp))
+    cw = jnp.asarray(_dct2_basis_padded(w, wp))
+    # Inverse row basis, zero-extended over padding rows (dY there is 0).
+    import numpy as np
+    # dct3_basis is [pixel, coeff]; zero-extend the PIXEL rows over padding
+    # (dY is 0 there), keep all coefficient columns.
+    dh_np = np.zeros((hp, h), np.float32)
+    dh_np[:h] = np.asarray(dct3_basis(h))
+    dh_pad = jnp.asarray(dh_np)
+    dw = jnp.asarray(dct3_basis(w))  # (w, w): dw[pixel, coeff]
+    p = jax_precision(config.precision)
+
+    def local(rgb_blk, marks_blk, ch, cw, dh_pad, dw):
+        coef = _corpus_forward(rgb_blk, ch, cw, config.precision)
+        n = marks_blk.shape[-1]
+
+        def rank_and_modulate(coef_img, mark):
+            idx = distributed_top_indices(coef_img, n, config.ordering, h, w)
+            original = _gather_replicated(coef_img, idx, w)
+            new_values = modulation.embed_marks(
+                original, mark, config.insertion.method,
+                config.insertion.alpha, custom_insert=config.custom_insert,
+                indices=idx)
+            return idx, new_values - original
+
+        idx, delta = jax.vmap(rank_and_modulate)(coef, marks_blk)
+
+        # Local sparse delta-IDCT: this device owns rows
+        # [row0, row0 + Hl) of every image; dY for those rows is one
+        # (Hl, n) x (n, W) matmul from the REPLICATED (idx, delta) --
+        # no second all-to-all, no full inverse transform.
+        hl = rgb_blk.shape[1]
+        row0 = jax.lax.axis_index(SPATIAL_AXIS) * hl
+        dh_loc = jax.lax.dynamic_slice(dh_pad, (row0, 0), (hl, h))
+
+        def inverse(idx_img, delta_img):
+            rows_i, cols_i = idx_img // w, idx_img % w
+            a = jnp.take(dh_loc, rows_i, axis=1)   # (Hl, n)
+            bmat = jnp.take(dw, cols_i, axis=1)    # (W, n)
+            return jnp.einsum("hn,wn->hw", a * delta_img[None, :], bmat,
+                              precision=p) * (4.0 / (w * h))
+
+        dy = jax.vmap(inverse)(idx, delta)          # (Bl, Hl, W)
+        out = jnp.clip(pipeline._to_f32(rgb_blk) + dy[..., None], 0.0, 1.0)
+        return colorspace.f32_to_u8(out)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, SPATIAL_AXIS, None, None), P(DATA_AXIS, None),
+                  P(None, None), P(None, None), P(None, None), P(None, None)),
+        out_specs=P(DATA_AXIS, SPATIAL_AXIS, None, None),
+    )(rgb, marks, ch, cw, dh_pad, dw)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "config", "n", "h", "w"))
+def _extract_corpus_jit(base, derived, n, mesh, config, h, w):
+    hp = base.shape[1]
+    ns = mesh.shape[SPATIAL_AXIS]
+    wp = padded_size(w, ns)
+    from .dct_sharded import _dct2_basis_padded
+    ch = jnp.asarray(_dct2_basis_padded(h, hp))
+    cw = jnp.asarray(_dct2_basis_padded(w, wp))
+
+    def local(base_blk, derived_blk, ch, cw):
+        cb = _corpus_forward(base_blk, ch, cw, config.precision)
+        # The extraction equations consume derived - base (or their ratio);
+        # the DCT is linear, so transform the luma DIFFERENCE once instead
+        # of the derived image separately (exact integer luma difference for
+        # u8 pairs -- see ops/colorspace.luma_diff).
+        ydiff = colorspace.luma_diff(base_blk, derived_blk)
+        if ydiff.shape[-1] != wp:
+            ydiff = jnp.pad(ydiff, ((0, 0), (0, 0), (0, wp - ydiff.shape[-1])))
+        p = jax_precision(config.precision)
+        t = jnp.einsum("...hw,lw->...hl", ydiff, cw, precision=p)
+        t = jax.lax.all_to_all(t, SPATIAL_AXIS, split_axis=t.ndim - 1,
+                               concat_axis=t.ndim - 2, tiled=True)
+        cd = jnp.einsum("km,...mw->...kw", ch, t, precision=p)
+
+        def one(cb_img, cd_img):
+            idx = distributed_top_indices(cb_img, n, config.ordering, h, w)
+            bvals = _gather_replicated(cb_img, idx, w)
+            dnum = _gather_replicated(cd_img, idx, w)
+            if config.custom_extract is not None:
+                return config.custom_extract(idx, bvals, bvals + dnum)
+            return modulation.extract_values(
+                config.extraction.method, config.extraction.alpha,
+                bvals, bvals + dnum)
+
+        return jax.vmap(one)(cb, cd)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, SPATIAL_AXIS, None, None),
+                  P(DATA_AXIS, SPATIAL_AXIS, None, None),
+                  P(None, None), P(None, None)),
+        out_specs=P(DATA_AXIS, None),
+    )(base, derived, ch, cw)
+
+
+def _place_corpus(imgs, mesh: Mesh):
+    """Host-pad rows to spatial divisibility and place the batch
+    P(data, spatial, None, None): every device holds (B/d, Hp/s, W, 3)."""
+    import numpy as np
+
+    ns = mesh.shape[SPATIAL_AXIS]
+    hp = padded_size(imgs.shape[1], ns)
+    if hp != imgs.shape[1]:
+        imgs = np.asarray(imgs)
+        imgs = np.pad(imgs, ((0, 0), (0, hp - imgs.shape[1]), (0, 0), (0, 0)))
+    return jax.device_put(
+        imgs, NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None)))
+
+
+def embed_corpus(rgb, marks, mesh: Mesh, config: WriteConfig = WriteConfig()):
+    """Joint DP x TP embed of a corpus of huge images (BASELINE config 5).
+
+    ``rgb``: (B, H, W, 3) with B divisible by the data axis; ``marks``:
+    (B, n), one mark per image. Returns (B, Hp, W, 3) uint8, where rows
+    >= H are zero padding (crop with ``[:, :H]`` on the host); keeping the
+    padded layout lets extract_corpus consume the result without a reshard.
+    """
+    if marks.ndim != 2:
+        raise ValueError("embed_corpus takes (B, n) marks, one per image")
+    h, w = rgb.shape[1], rgb.shape[2]
+    rgb = _place_corpus(rgb, mesh)
+    marks = jax.device_put(marks, NamedSharding(mesh, P(DATA_AXIS, None)))
+    return _embed_corpus_jit(rgb, marks, mesh, config, h, w)
+
+
+def extract_corpus(base, derived, n: int, mesh: Mesh,
+                   config: ReadConfig = ReadConfig(), *, height=None):
+    """Joint DP x TP extract over a corpus: (B, n) marks, one per image.
+
+    ``base``/``derived``: (B, H, W, 3) or the (B, Hp, W, 3) padded output of
+    :func:`embed_corpus` (pass the true ``height`` then).
+    """
+    if base.shape != derived.shape:
+        raise ValueError(
+            "Derived coefficient length not equal to base coefficient length.")
+    h = height if height is not None else base.shape[1]
+    w = base.shape[2]
+    if n >= h * w:
+        raise ValueError("Desired extraction length exceeds available coefficients.")
+    base = _place_corpus(base, mesh)
+    derived = _place_corpus(derived, mesh)
+    return _extract_corpus_jit(base, derived, n, mesh, config, h, w)

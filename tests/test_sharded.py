@@ -210,3 +210,56 @@ def test_place_row_sharded_never_replicates(spatial_mesh, cat_image):
     np.testing.assert_array_equal(
         np.asarray(placed)[: cat_image.shape[0]], cat_image)
     assert not np.any(np.asarray(placed)[cat_image.shape[0]:])
+
+
+def test_corpus_dp_tp_roundtrip(cat_image):
+    # BASELINE config 5's harness at CPU scale: a corpus sharded over a
+    # joint (data=2, spatial=4) mesh -- DP over the batch, rows of every
+    # image over the spatial axis, distributed top-k, and a local sparse
+    # delta-IDCT write-back. Must agree with the single-device pipeline.
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(9)
+    # 4 distinct crops of the cat (non-divisible height 441 exercises the
+    # pad-and-mask path), one mark each.
+    crops = np.stack([
+        cat_image[oy:oy + 441, ox:ox + 512]
+        for oy, ox in [(0, 0), (1, 64), (2, 128), (3, 16)]
+    ])
+    n = 400
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(7), n, count=4))
+
+    marked_pad = np.asarray(pipeline_sharded.embed_corpus(
+        jnp.asarray(crops), jnp.asarray(marks), mesh))
+    assert marked_pad.shape[1] % 4 == 0
+    marked = marked_pad[:, :441]
+    assert not np.any(marked_pad[:, 441:])  # padding rows stay zero
+
+    want = np.asarray(wm.embed(jnp.asarray(crops), jnp.asarray(marks[:, None, :])))
+    diff = np.abs(want.astype(int) - marked.astype(int))
+    assert (diff > 1).mean() == 0.0, diff.max()
+    # The sharded transform sums in a different f32 order (row pass ->
+    # all-to-all -> column pass, psum-gathered values), so a small fraction
+    # of pixels sits on the other side of a quantization boundary.
+    assert (diff > 0).mean() < 0.10
+
+    # Extract through the DP x TP read path, from the padded embed output.
+    ext = np.asarray(pipeline_sharded.extract_corpus(
+        jnp.asarray(np.pad(crops, ((0, 0), (0, marked_pad.shape[1] - 441),
+                                   (0, 0), (0, 0)))),
+        jnp.asarray(marked_pad), n, mesh, height=441))
+    assert ext.shape == (4, n)
+    sims = np.asarray(wm.similarity(jnp.asarray(ext), jnp.asarray(marks)))
+    # Each image detects its own mark strongly and not the others'.
+    own = np.diag(sims)
+    cross = sims[~np.eye(4, dtype=bool)]
+    assert (own > 15.0).all(), own
+    assert (np.abs(cross) < 4.0).all(), cross
+
+    # And the single-device extraction agrees on the recovered values --
+    # up to a handful of boundary rank swaps (the two transforms reduce in
+    # different f32 orders, so the tail of the ranking can pick different
+    # near-equal-energy coefficients).
+    ext_single = np.asarray(wm.extract(
+        jnp.asarray(crops), jnp.asarray(marked), n))
+    agree = np.abs(ext - ext_single) < 5e-2
+    assert agree.mean() > 0.99, agree.mean()
