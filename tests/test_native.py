@@ -48,3 +48,38 @@ def test_dequantize_matches_colorspace():
     x = np.arange(256, dtype=np.uint8).reshape(16, 16)
     np.testing.assert_array_equal(
         native.dequantize_f32(x), colorspace.np_u8_to_f32(x))
+
+
+def test_vendored_binary_matches_fresh_build(tmp_path):
+    """The vendored .so must be reproducible from native/ssw_native.cpp
+    (round-2 ADVICE: a checked-in opaque artifact is unverifiable in review
+    unless a test rebuilds the source and compares outputs)."""
+    import glob
+    import importlib.util
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(root / "native" / "setup.py"),
+         "build_ext", "--build-lib", str(tmp_path)],
+        capture_output=True, text=True, cwd=root)
+    if r.returncode != 0:
+        pytest.skip(f"no working C++ toolchain: {r.stderr[-500:]}")
+    built = glob.glob(str(
+        tmp_path / "spread_spectrum_watermarking_tpu" / "utils" / "_native_impl*.so"))
+    assert built, "build produced no extension"
+    # extension init symbol is PyInit__native_impl -- keep that name
+    spec = importlib.util.spec_from_file_location("_native_impl", built[0])
+    fresh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fresh)
+
+    vendored = native._native_impl
+    for seed in (1, 2, 0xBAAAAAAD):
+        assert (fresh.generate_fixed_normal_sequence_bytes(seed, 1000)
+                == vendored.generate_fixed_normal_sequence_bytes(seed, 1000))
+        assert (fresh.chacha8_u64s_bytes(seed, 64)
+                == vendored.chacha8_u64s_bytes(seed, 64))
+    arr = np.linspace(-0.25, 1.25, 4096, dtype=np.float32).tobytes()
+    assert fresh.quantize_u8_bytes(arr) == vendored.quantize_u8_bytes(arr)
