@@ -294,3 +294,72 @@ def run_corpus_bench(n_images: int = 1024, chunk: int = 64, size: str = "1080p",
         "min_own_mark_sigma": float(own_all.min()),
         "detection_rate_top1": best_is_own / (n_chunks * chunk),
     }
+
+
+def run_corpus_sharded_bench(n_images: int = 32, chunk: int = 8,
+                             size: str = "4k", length: int = 1000,
+                             precision: str = "highest",
+                             mesh_shape=None) -> dict:
+    """BASELINE.json config 5: a 4K corpus over a joint (data, spatial) mesh.
+
+    DP over the image batch, TP (row sharding + sharded DCT + distributed
+    top-k + local sparse delta-IDCT) within each image -- see
+    parallel/pipeline_sharded.embed_corpus. Runs on whatever devices exist:
+    the 8-virtual-device CPU mesh here (correctness + relative scaling), a
+    real pod slice unchanged (the collectives ride ICI when ``spatial`` is
+    the minor mesh axis).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import modulation
+    from .parallel import make_mesh
+    from .parallel.pipeline_sharded import embed_corpus, extract_corpus
+
+    ndev = len(jax.devices())
+    if mesh_shape is None:
+        ns = 4 if ndev % 4 == 0 and ndev >= 4 else 1
+        mesh_shape = (ndev // ns, ns)
+    mesh = make_mesh(tuple(mesh_shape))
+    h, w = parse_size(size)
+    prec = Precision(precision)
+    wcfg = WriteConfig(precision=prec)
+    rcfg = ReadConfig(precision=prec)
+
+    rng = np.random.default_rng(3)
+    imgs = natural_corpus_chunk(chunk, h, w, rng)
+    marks = rng.standard_normal((chunk, length)).astype(np.float32)
+
+    # Warm/compile.
+    marked = embed_corpus(jnp.asarray(imgs), jnp.asarray(marks), mesh, wcfg)
+    hp = marked.shape[1]
+    base_pad = np.pad(imgs, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    ext = extract_corpus(jnp.asarray(base_pad), marked, length, mesh, rcfg,
+                         height=h)
+    jax.block_until_ready(ext)
+
+    n_chunks = max(1, n_images // chunk)
+    t0 = time.perf_counter()
+    sims_all = []
+    for i in range(n_chunks):
+        marked = embed_corpus(jnp.asarray(imgs), jnp.asarray(marks), mesh, wcfg)
+        ext = extract_corpus(jnp.asarray(base_pad), marked, length, mesh,
+                             rcfg, height=h)
+        sims_all.append(np.asarray(modulation.similarity(
+            ext, jnp.asarray(marks))))
+    dt = time.perf_counter() - t0
+
+    sims = np.mean(sims_all, axis=0)
+    own = np.diag(sims)
+    cross = np.abs(sims[~np.eye(chunk, dtype=bool)])
+    return {
+        "size": f"{h}x{w}", "n_images": n_chunks * chunk, "chunk": chunk,
+        "mesh": {"data": mesh.shape["data"], "spatial": mesh.shape["spatial"]},
+        "devices": ndev, "platform": jax.devices()[0].platform,
+        "precision": prec.value,
+        "corpus_images_per_sec": n_chunks * chunk / dt,
+        "seconds_total": dt,
+        "mean_own_mark_sigma": float(own.mean()),
+        "min_own_mark_sigma": float(own.min()),
+        "max_cross_mark_sigma": float(cross.max()),
+    }

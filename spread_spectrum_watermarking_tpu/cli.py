@@ -300,7 +300,8 @@ def cmd_batch(args) -> int:
 def cmd_bench(args) -> int:
     import json as _json
 
-    from .bench import run_bench, run_corpus_bench, run_similarity_sweep_bench
+    from .bench import (run_bench, run_corpus_bench,
+                        run_corpus_sharded_bench, run_similarity_sweep_bench)
 
     if args.config == "throughput":
         run_bench(batch=args.batch, size=args.size, length=args.length,
@@ -310,6 +311,13 @@ def cmd_bench(args) -> int:
         res = run_corpus_bench(n_images=args.corpus_images, chunk=args.batch,
                                size=args.size, length=args.length,
                                n_marks=args.sweep_marks)
+        print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in res.items()}))
+    elif args.config == "corpus-sharded":
+        # BASELINE config 5: corpus over a joint (data, spatial) mesh.
+        res = run_corpus_sharded_bench(
+            n_images=args.corpus_images, chunk=args.batch, size=args.size,
+            length=args.length)
         print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in res.items()}))
     elif args.config == "sweep":
@@ -371,7 +379,7 @@ def main(argv=None) -> int:
     p_bench.add_argument("--profile-dir", default=None,
                          help="Write a jax.profiler trace here (TensorBoard).")
     p_bench.add_argument("--config", default="throughput",
-                         choices=["throughput", "corpus", "sweep"],
+                         choices=["throughput", "corpus", "corpus-sharded", "sweep"],
                          help="throughput: steady-state embed/extract; "
                               "corpus: end-to-end corpus + mark-database "
                               "sweep; sweep: similarity matmul only.")

@@ -72,6 +72,16 @@ def _sparse_idct_delta(
     b = jnp.take(dw, cols, axis=1)
     b = jnp.moveaxis(b, 0, 1) if b.ndim == 3 else b
     scaled = a * delta[..., None, :]  # (B, H, n) * (B, 1, n)
+    if precision is Precision.DEFAULT:
+        # The DEFAULT dot rounds its operands to bf16 anyway; storing the
+        # gathered factors as bf16 halves their HBM round trip (~24 MB/img
+        # at 1080p) without changing the dot's numerics. The scale factor
+        # is folded in BEFORE the bf16 rounding of ``scaled``.
+        scaled = (scaled * (4.0 / (w * h))).astype(jnp.bfloat16)
+        out = jnp.einsum("...hn,...wn->...hw", scaled,
+                         b.astype(jnp.bfloat16), precision=p,
+                         preferred_element_type=jnp.float32)
+        return out
     out = jnp.einsum("...hn,...wn->...hw", scaled, b, precision=p)
     return out * (4.0 / (w * h))
 
