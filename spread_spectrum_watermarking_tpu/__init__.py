@@ -39,8 +39,10 @@ from .models.pipeline import (
     embed,
     extract,
     extract_prepared,
+    extract_ranked,
     prepare_base,
     prepare_derived,
+    rank_base,
     similarity,
 )
 
@@ -52,5 +54,6 @@ __all__ = [
     "Precision",
     "embed", "extract", "similarity",
     "prepare_base", "prepare_derived", "extract_prepared",
+    "rank_base", "extract_ranked",
     "generate_normal", "as_marks",
 ]

@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .config import ReadConfig, WriteConfig
+from .config import Precision, ReadConfig, WriteConfig
 from .marks import as_marks
 from .models import pipeline
 from .ops import colorspace, dct, ranking
@@ -105,23 +105,38 @@ class Reader:
     def derived(image, config: ReadConfig = ReadConfig()) -> ReaderDerived:
         return ReaderDerived(image, config)
 
+    @property
+    def _fast(self) -> bool:
+        return self._config.precision is not Precision.HIGHEST
+
     def _prepared(self, n: int):
+        """Cached base-side work, keyed on n (the reference CLI's extraction
+        cache, examples/main.rs:369-412). At HIGHEST: (full coefficient
+        plane, indices). At the fast tiers: (indices, base values) from the
+        same delta-exact prologue the Writer uses -- the fast tiers' bf16
+        plane rounding only cancels out of detection when extraction
+        transforms luma(derived) - luma(base), so no derived-independent
+        coefficient plane exists to cache (pipeline.rank_base)."""
         if n not in self._cache:
-            flat, idx = pipeline.prepare_base(self._rgb, n, self._config)
-            self._cache[n] = (flat, idx)
+            if self._fast:
+                self._cache[n] = pipeline.rank_base(self._rgb, n, self._config)
+            else:
+                self._cache[n] = pipeline.prepare_base(
+                    self._rgb, n, self._config)
         return self._cache[n]
 
     def coefficients(self) -> np.ndarray:
         """Flat DCT coefficient plane of the base image
         (reference accessor: src/algorithm.rs:502-504). Computed directly --
         no ranking is needed for this view."""
-        for flat, _ in self._cache.values():
-            return np.asarray(flat)
+        if not self._fast:
+            for flat, _ in self._cache.values():
+                return np.asarray(flat)
         return np.asarray(pipeline.prepare_derived(self._rgb, self._config))
 
     def indices(self, n: int) -> np.ndarray:
-        _, idx = self._prepared(n)
-        return np.asarray(idx)
+        pair = self._prepared(n)
+        return np.asarray(pair[0] if self._fast else pair[1])
 
     def extract(self, derived: ReaderDerived, n: int) -> np.ndarray:
         """Extract a length-n watermark from a derived reader.
@@ -136,8 +151,13 @@ class Reader:
         if n >= h * w:
             raise ValueError(
                 "Desired extraction length exceeds available coefficients.")
-        flat, idx = self._prepared(n)
         import jax.numpy as jnp
+        if self._fast:
+            idx, base_vals = self._prepared(n)
+            return np.asarray(pipeline.extract_ranked(
+                jnp.asarray(self._rgb), jnp.asarray(derived._rgb),
+                idx, base_vals, self._config))
+        flat, idx = self._prepared(n)
         return np.asarray(pipeline.extract_prepared(
             flat, idx, jnp.asarray(derived.coefficients()), self._config))
 

@@ -57,12 +57,25 @@ def _add_watermark_config_args(p: argparse.ArgumentParser) -> None:
     _add_precision_arg(p)
 
 
-def _add_precision_arg(p: argparse.ArgumentParser) -> None:
+def _add_precision_arg(p: argparse.ArgumentParser,
+                       for_test: bool = False) -> None:
+    if for_test:
+        # Extraction must run at the tier the watermark was embedded at
+        # (fast-tier rank order is deterministic per tier, not across
+        # tiers), so `test` defaults to the tier recorded in each
+        # watermark file and the flag is an explicit override.
+        p.add_argument("--precision", choices=_PRECISION_CHOICES, default=None,
+                       help="Override the transform precision tier. Default: "
+                            "the tier recorded in each watermark file "
+                            "('highest' for files without one, including "
+                            "all reference-written files).")
+        return
     p.add_argument("--precision", choices=_PRECISION_CHOICES, default="highest",
                    help="Transform precision tier: 'highest' is the "
-                        "reference-exact f32 path (default); 'high' is the "
-                        "benched production throughput path; 'default' is "
-                        "fastest (single-pass bf16).")
+                        "reference-exact f32 path (default); 'high' and "
+                        "'default' are the fast bf16 production tiers "
+                        "(fastest: 'default'). The tier is recorded in the "
+                        "watermark json so `test` extracts at the same tier.")
 
 
 def cmd_watermark(args) -> int:
@@ -107,6 +120,10 @@ def cmd_watermark(args) -> int:
         watermarks=[storage.DescribedWatermark(
             values=[float(v) for v in mark],
             description=args.description or "")],
+        # Record non-default tiers so `test` extracts at the embedding tier;
+        # HIGHEST stays implicit, keeping the file identical to the
+        # reference's schema (examples/main.rs:110-131).
+        precision=precision if precision is not Precision.HIGHEST else None,
     )
     storage.save_watermark_file(json_out, st)
 
@@ -149,12 +166,18 @@ def cmd_test(args) -> int:
     retrieved: dict = {}
     for path, st in loaded:
         cfg = st.config
+        # Extract at the tier the file records (reference files record none
+        # -> HIGHEST, matching their exact rank order); --precision overrides.
+        if args.precision is not None:
+            prec = _PRECISION_CHOICES[args.precision]
+        else:
+            prec = st.precision or Precision.HIGHEST
         for mark in st.watermarks:
-            key = (cfg, len(mark.values))
+            key = (cfg, prec, len(mark.values))
             if key not in retrieved:
                 rcfg = ReadConfig(extraction=cfg.insert_extract,
                                   ordering=cfg.ordering,
-                                  precision=_PRECISION_CHOICES[args.precision])
+                                  precision=prec)
                 retrieved[key] = np.asarray(extract(
                     jnp.asarray(base), jnp.asarray(watermarked),
                     len(mark.values), rcfg))
@@ -266,6 +289,9 @@ def cmd_batch(args) -> int:
                     ordering=_ORDERING_CHOICES[args.ordering]),
                 watermarks=[storage.DescribedWatermark(
                     values=[float(v) for v in mark], description=p.name)],
+                precision=(wcfg.precision
+                           if wcfg.precision is not Precision.HIGHEST
+                           else None),
             )
             storage.save_watermark_file(out_dir / (p.stem + "_wm.json"), st)
             count += 1
@@ -356,7 +382,7 @@ def main(argv=None) -> int:
     p_test.add_argument("--jsonl", default=None,
                         help="Append one JSON line per tested mark here ('-' "
                              "for stdout).")
-    _add_precision_arg(p_test)
+    _add_precision_arg(p_test, for_test=True)
 
     p_batch = sub.add_parser("batch", help="Watermark a directory of images (batched).")
     p_batch.add_argument("directory")

@@ -161,10 +161,8 @@ def _rank_and_values_fast(
         t if t.dtype == jnp.bfloat16 else t.astype(jnp.bfloat16),
         axis=other, precision=Precision.DEFAULT)  # f32 accumulation out
     with jax.named_scope("ssw.rank"):
-        idx = ranking.approx_top_indices(plane, n, ordering,
-                                         custom_metric=custom_metric)
-    flat = plane.reshape(*plane.shape[:-2], h * w)
-    vals = _batched_gather(flat, idx)
+        idx, vals = ranking.approx_top_indices(plane, n, ordering,
+                                               custom_metric=custom_metric)
     return idx, vals
 
 
@@ -208,33 +206,36 @@ def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
     return colorspace.f32_to_u8(out) if quantize else out
 
 
-def _extract_fast(base: jax.Array, derived: jax.Array, n: int,
-                  config: ReadConfig) -> jax.Array:
-    """Fast read path (non-HIGHEST): transform the *difference*.
+def _extract_fast_tail(base: jax.Array, derived: jax.Array, idx: jax.Array,
+                       base_vals: jax.Array, config: ReadConfig,
+                       sparse_second: bool = True) -> jax.Array:
+    """Delta-exact read tail given the base's ranked indices/values.
 
-    The base prologue is shared bit-for-bit with :func:`_embed_fast` (the
-    dispatch keys on the base image alone, so Writer and Reader always rank
-    through the same code path). The derived image is never transformed on
-    its own: every extraction equation consumes ``derived - base`` (or their
-    ratio, reference src/algorithm.rs:566-593), and the DCT is linear, so the
-    numerator is computed by transforming ``luma(derived) - luma(base)``
-    directly. On that delta signal a single-pass bf16 transform is accurate
-    to ~0.4% *of the delta* -- the catastrophic-cancellation risk of
-    subtracting two separately-computed large coefficient sets (where bf16
-    rounding of the operands is ~4x the signal) disappears, which is what
-    lets the whole read path run at bf16 speed with reference-grade output.
+    The derived image is never transformed on its own: every extraction
+    equation consumes ``derived - base`` (or their ratio, reference
+    src/algorithm.rs:566-593), and the DCT is linear, so the numerator is
+    computed by transforming ``luma(derived) - luma(base)`` directly. On
+    that delta signal a single-pass bf16 transform is accurate to ~0.4%
+    *of the delta* -- the catastrophic-cancellation risk of subtracting two
+    separately-computed large coefficient sets (where bf16 rounding of the
+    operands is ~4x the signal) disappears, which is what lets the whole
+    read path run at bf16 speed with reference-grade output.
     """
-    with jax.named_scope("ssw.forward"):
-        idx, base_vals = _rank_and_values_fast(
-            base, n, config.ordering, config.precision,
-            config.custom_ordering)
-        h, w = base.shape[-3], base.shape[-2]
-        ax = _shorter_axis(h, w)
+    h, w = base.shape[-3], base.shape[-2]
+    ax = _shorter_axis(h, w)
+    ydiff = colorspace.luma_diff(base, derived)
+    td = dct.dct2_pass(ydiff.astype(jnp.bfloat16), axis=ax,
+                       precision=Precision.DEFAULT,
+                       out_dtype=jnp.bfloat16)
+    if sparse_second:
+        # The delta plane is only ever read at the n ranked indices, so the
+        # second pass is a gather-dot over n rows instead of a full matmul
+        # (~0.05% of the full pass's FLOPs at 1080p/n=1000; reference reads
+        # derived coefficients the same sparse way, src/algorithm.rs:556-561).
+        num = dct.dct2_dot_at(td, idx, contracted_axis=ax,
+                              precision=Precision.DEFAULT)
+    else:
         other = -1 if ax == -2 else -2
-        ydiff = colorspace.luma_diff(base, derived)
-        td = dct.dct2_pass(ydiff.astype(jnp.bfloat16), axis=ax,
-                           precision=Precision.DEFAULT,
-                           out_dtype=jnp.bfloat16)
         dplane = dct.dct2_pass(td, axis=other, precision=Precision.DEFAULT)
         num = _batched_gather(dplane.reshape(*dplane.shape[:-2], h * w), idx)
     if config.custom_extract is not None:
@@ -251,6 +252,23 @@ def _extract_fast(base: jax.Array, derived: jax.Array, n: int,
     if method == Method.OPTION3:  # ln(d / b) / alpha = log1p(num / b) / alpha
         return jnp.log1p(num / base_vals) / alpha
     raise ValueError(f"unknown method {method}")
+
+
+def _extract_fast(base: jax.Array, derived: jax.Array, n: int,
+                  config: ReadConfig, sparse_second: bool = True) -> jax.Array:
+    """Fast read path (non-HIGHEST): rank from the base, transform the diff.
+
+    The base prologue is shared bit-for-bit with :func:`_embed_fast` (the
+    dispatch keys on the base image alone, so Writer and Reader always rank
+    through the same code path); see :func:`_extract_fast_tail` for the
+    delta-exact numerator.
+    """
+    with jax.named_scope("ssw.forward"):
+        idx, base_vals = _rank_and_values_fast(
+            base, n, config.ordering, config.precision,
+            config.custom_ordering)
+        return _extract_fast_tail(base, derived, idx, base_vals, config,
+                                  sparse_second)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "quantize", "sparse_idct"))
@@ -386,6 +404,12 @@ def extract_prepared(
     Vectorized form of ``Reader::extract_watermark``
     (reference: src/algorithm.rs:543-562): gather both coefficient sets at the
     ranked indices and invert the embedding equation.
+
+    Quality note: subtracting two independently transformed planes is only
+    meaningful when both were computed at ``Precision.HIGHEST`` (f32-exact
+    transforms). At the fast tiers each plane carries ~0.4% relative bf16-dot
+    rounding -- several times the watermark delta itself -- so use
+    :func:`rank_base` + :func:`extract_ranked` there instead (delta-exact).
     """
     base_vals = _batched_gather(base_flat, idx)
     derived_vals = _batched_gather(derived_flat, idx)
@@ -397,11 +421,63 @@ def extract_prepared(
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n"))
+def rank_base(
+    rgb: jax.Array,
+    n: int,
+    config: ReadConfig = ReadConfig(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Rank the base image's coefficients on the fast (non-HIGHEST) path.
+
+    The fast-tier analog of :func:`prepare_base` -- ``Reader::base``
+    (reference: src/algorithm.rs:462-498) -- returning ``(indices,
+    base_values)`` from the same prologue :func:`embed`'s fast path uses, so
+    a Reader built from this cache agrees bit-for-bit with the Writer. Cache
+    the result to amortize the base transform across many derived images
+    (the reference CLI's extraction cache, examples/main.rs:369-412); pair
+    with :func:`extract_ranked`, which needs the base *pixels* (not a
+    coefficient plane) for the delta-exact numerator.
+    """
+    single_image = rgb.ndim == 3
+    if single_image:
+        rgb = rgb[None]
+    idx, vals = _rank_and_values_fast(
+        rgb, n, config.ordering, config.precision, config.custom_ordering)
+    if single_image:
+        return idx[0], vals[0]
+    return idx, vals
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def extract_ranked(
+    base: jax.Array,
+    derived: jax.Array,
+    idx: jax.Array,
+    base_vals: jax.Array,
+    config: ReadConfig = ReadConfig(),
+) -> jax.Array:
+    """Extract given cached :func:`rank_base` output (fast tiers).
+
+    Unlike :func:`extract_prepared` (which consumes two independently
+    transformed coefficient planes and is only meaningful at
+    ``Precision.HIGHEST``, where the transforms are f32-exact), this
+    delta-exact form transforms ``luma(derived) - luma(base)`` so the fast
+    tiers' bf16 plane rounding cancels out of detection entirely.
+    """
+    single_image = base.ndim == 3
+    if single_image:
+        base, derived = base[None], derived[None]
+        idx, base_vals = idx[None], base_vals[None]
+    out = _extract_fast_tail(base, derived, idx, base_vals, config)
+    return out[0] if single_image else out
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n", "sparse_second"))
 def _extract_fused(
     base: jax.Array,
     derived: jax.Array,
     n: int,
     config: ReadConfig,
+    sparse_second: bool = True,
 ) -> jax.Array:
     """Fused read path: full transform of base, sparse transform of derived.
 
@@ -412,7 +488,7 @@ def _extract_fused(
     1-D pass plus a gather-dot instead of a second full pass.
     """
     if config.precision is not Precision.HIGHEST:
-        return _extract_fast(base, derived, n, config)
+        return _extract_fast(base, derived, n, config, sparse_second)
     coeffs = _forward(base, config.precision)
     idx = ranking.top_indices(coeffs, n, config.ordering,
                               custom_metric=config.custom_ordering)
@@ -439,7 +515,10 @@ def extract(
     ``base`` and ``derived`` are ``(B, H, W, 3)`` or ``(H, W, 3)`` images.
     ``sparse_derived`` (default) computes the derived image's coefficients
     only at the n ranked indices (~1.4x faster read path at 1080p); False
-    forces the reference-style full second transform.
+    forces the reference-style full second transform (at fast tiers: a full
+    second pass of the delta plane instead of the gather-dot -- the
+    delta-exact construction is not optional there, see
+    :func:`_extract_fast_tail`).
     Raises ValueError on the conditions the reference panics on
     (src/algorithm.rs:550-555): mismatched image sizes, or ``n`` not below
     the coefficient count (the reference's check is ``>=``, off-by-one
@@ -453,11 +532,12 @@ def extract(
     h, w = base.shape[-3], base.shape[-2]
     if n >= h * w:
         raise ValueError("Desired extraction length exceeds available coefficients.")
-    if sparse_derived:
+    if sparse_derived or config.precision is not Precision.HIGHEST:
         single_image = base.ndim == 3
         if single_image:
             base, derived = base[None], derived[None]
-        out = _extract_fused(base, derived, n, config)
+        out = _extract_fused(base, derived, n, config,
+                             sparse_second=sparse_derived)
         return out[0] if single_image else out
     base_flat, idx = prepare_base(base, n, config)
     derived_flat = prepare_derived(derived, config)

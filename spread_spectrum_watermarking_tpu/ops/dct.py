@@ -194,15 +194,22 @@ def dct2_dot_at(
     p = jax_precision(precision)
     rows = idx // w
     cols = idx % w
+    # At DEFAULT the reduce rounds operands to bf16 anyway; gathering from a
+    # bf16 basis halves the (..., n, max(H, W)) operand's HBM round trip.
+    bdt = jnp.bfloat16 if precision is Precision.DEFAULT else None
     if contracted_axis in (-2, t.ndim - 2):
         # t = C_h @ Y; coeff[r, c] = t[r, :] . C_w[c, :]
         g = jnp.take_along_axis(t, rows[..., :, None], axis=-2)  # (..., n, W)
-        cg = jnp.asarray(dct2_basis(w))[cols]  # (..., n, W)
-        return jnp.einsum("...nw,...nw->...n", g, cg, precision=p)
+        cw = jnp.asarray(dct2_basis(w))
+        cg = (cw.astype(bdt) if bdt else cw)[cols]  # (..., n, W)
+        return jnp.einsum("...nw,...nw->...n", g, cg, precision=p,
+                          preferred_element_type=jnp.float32)
     # t = Y @ C_w^T; coeff[r, c] = C_h[r, :] . t[:, c]
     g = jnp.take_along_axis(t, cols[..., None, :], axis=-1)  # (..., H, n)
-    cg = jnp.asarray(dct2_basis(h))[rows]  # (..., n, H)
-    return jnp.einsum("...hn,...nh->...n", g, cg, precision=p)
+    ch = jnp.asarray(dct2_basis(h))
+    cg = (ch.astype(bdt) if bdt else ch)[rows]  # (..., n, H)
+    return jnp.einsum("...hn,...nh->...n", g, cg, precision=p,
+                      preferred_element_type=jnp.float32)
 
 
 def dct2_coeffs_at(

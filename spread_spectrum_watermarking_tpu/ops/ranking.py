@@ -158,8 +158,15 @@ def approx_top_indices(
     n: int,
     ordering: Ordering,
     custom_metric=None,
-) -> jax.Array:
+):
     """TPU-native approximate top-n: one fused metric + ``approx_max_k``.
+
+    Returns ``(indices, values)``: the rank-ordered flat indices AND the
+    coefficient values at them. The values ride along through the re-sort so
+    the pipeline never issues a second scattered gather from the full plane
+    (a TPU gather of n random positions from a W*H plane costs more than the
+    sort itself: one extra such gather measured -160 img/s on the 1080p
+    headline).
 
     The production (non-HIGHEST) pipelines rank on this instead of the exact
     hierarchical selection: ``jax.lax.approx_max_k`` lowers to the TPU
@@ -172,58 +179,43 @@ def approx_top_indices(
     correctness requirement, reference src/algorithm.rs:543-562) is exact.
 
     Output is descending-metric ordered like the reference's full sort
-    (src/algorithm.rs:204-210); ties break by the reduction's deterministic
-    bucket order rather than ascending flat index, which is why the
-    HIGHEST-precision parity path keeps :func:`top_indices` instead.
+    (src/algorithm.rs:204-210): the PartialReduce pass *selects* the n
+    candidates on bf16 keys, then the selection is re-sorted by its full-
+    precision metric with ascending-index tie-break -- an O(n log n) sort on
+    n elements, so rank order is determined by the metric plane's own values,
+    not the reduction's bucket order. (Rank order across *precision tiers*
+    still differs -- the fast tiers' plane carries bf16-dot rounding that
+    reorders near-ties -- which is why write and read must use the same tier;
+    the CLI records the tier in the watermark JSON to enforce this.)
     """
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    size = h * w
+    flat_c = coeffs.reshape(*coeffs.shape[:-2], size)
     if custom_metric is not None:
-        size = coeffs.shape[-2] * coeffs.shape[-1]
-        flat_c = coeffs.reshape(*coeffs.shape[:-2], size)
         pos = jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
         flat = custom_metric(pos, flat_c)
     else:
         m = ranking_metric(coeffs, ordering)
         flat = m.reshape(*m.shape[:-2], -1)
-    # bf16 keys halve the PartialReduce stream; ranking tolerates the rounding
-    # (it only perturbs the same near-boundary ties recall already covers).
-    flat = flat.astype(jnp.bfloat16)
-    neg_inf = jnp.asarray(-jnp.inf, dtype=flat.dtype)
-    flat = flat.at[..., 0].set(neg_inf)
-    _, idx = jax.lax.approx_max_k(flat, n)
-    return idx
-
-
-def approx_top_indices_mapped(
-    plane: jax.Array,
-    n: int,
-    ordering: Ordering,
-    index_map: jax.Array,
-    h: int,
-    w: int,
-):
-    """:func:`approx_top_indices` over a row-permuted coefficient plane.
-
-    ``plane`` is (..., R, w) in an arbitrary (static) row layout described by
-    ``index_map`` (R, w) int32: the true flat row-major index of each
-    position, with out-of-range sentinel ``h*w`` marking padding rows (see
-    ops/fused_dct.true_index_map). The ranking metric is position-dependent
-    for ENERGY_ORTHOGONAL/LEGACY (row-0/col-0 ortho factors, reference
-    src/algorithm.rs:240-267), so the metric is evaluated against the *true*
-    indices; DC and padding are masked inside :func:`_metric_from_values`.
-
-    Returns ``(true_idx, layout_idx)`` -- the same selection expressed as
-    true row-major flat indices (for modulation / the sparse inverse) and as
-    flat positions in the plane's own layout (for gather-dots against it).
-    """
-    size = h * w
-    lead = plane.shape[:-2]
-    flat_p = plane.reshape(*lead, -1)
-    flat_map = index_map.reshape(-1)
-    m = _metric_from_values(flat_p, flat_map, h, w, ordering, size)
-    m = m.astype(jnp.bfloat16)
-    _, layout_idx = jax.lax.approx_max_k(m, n)
-    true_idx = jnp.take(flat_map, layout_idx)
-    return true_idx, layout_idx
+    # bf16 keys halve the PartialReduce stream; selection tolerates the
+    # rounding (it only perturbs the same near-boundary ties recall already
+    # covers), and the final order comes from the f32 re-sort below. The
+    # f32 metric itself stays a fused virtual plane: the re-sort keys are
+    # recomputed from the n gathered *coefficients*, never a gather from a
+    # materialized f32 metric array.
+    keys = flat.astype(jnp.bfloat16)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=keys.dtype)
+    keys = keys.at[..., 0].set(neg_inf)
+    _, idx = jax.lax.approx_max_k(keys, n)
+    cand_c = jnp.take_along_axis(flat_c, idx, axis=-1)  # the ONE gather
+    if custom_metric is not None:
+        cand_m = custom_metric(idx, cand_c).astype(jnp.float32)
+        cand_m = jnp.where(idx == 0, -jnp.inf, cand_m)  # keep DC masked
+    else:
+        cand_m = _metric_from_values(cand_c, idx, h, w, ordering, size)
+    _, sorted_idx, sorted_vals = jax.lax.sort(
+        (-cand_m, idx, cand_c), num_keys=2, dimension=-1)
+    return sorted_idx, sorted_vals
 
 
 def top_indices(

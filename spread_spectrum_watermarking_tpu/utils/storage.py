@@ -26,7 +26,9 @@ import json
 import os
 from typing import List
 
-from ..config import InsertExtract, Method, Ordering
+from typing import Optional
+
+from ..config import InsertExtract, Method, Ordering, Precision
 
 # serde spellings used by the reference CLI's enums (examples/main.rs:10-49).
 _METHOD_TO_JSON = {
@@ -42,6 +44,13 @@ _ORDERING_TO_JSON = {
     Ordering.LEGACY: "Legacy",
 }
 _JSON_TO_ORDERING = {v: k for k, v in _ORDERING_TO_JSON.items()}
+
+_PRECISION_TO_JSON = {
+    Precision.HIGHEST: "Highest",
+    Precision.HIGH: "High",
+    Precision.DEFAULT: "Default",
+}
+_JSON_TO_PRECISION = {v: k for k, v in _PRECISION_TO_JSON.items()}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,29 +72,40 @@ class DescribedWatermark:
 
 @dataclasses.dataclass
 class WatermarkStorage:
-    """The ``Version1`` storage envelope (examples/main.rs:122-131)."""
+    """The ``Version1`` storage envelope (examples/main.rs:122-131).
+
+    ``precision`` extends the reference schema: the rank order the fast
+    (non-HIGHEST) tiers derive from a bf16-computed coefficient plane is
+    deterministic per tier but differs *across* tiers on near-tie energies,
+    so extraction must run at the tier the watermark was embedded at. The
+    embedding tier is therefore recorded alongside the config (an optional
+    key the reference's serde ignores); absent -- including in every
+    reference-written file -- it means ``Highest``, the tier whose ordering
+    is exact and matches the reference's (value desc, index asc) sort.
+    """
 
     config: Configuration
     watermarks: List[DescribedWatermark]
+    precision: Optional[Precision] = None
 
     def to_json(self) -> str:
-        obj = {
-            "Version1": {
-                "config": {
-                    "insert_extract": {
-                        "alpha": self.config.insert_extract.alpha,
-                        "method": _METHOD_TO_JSON[self.config.insert_extract.method],
-                    },
-                    "ordering": _ORDERING_TO_JSON[self.config.ordering],
+        v1 = {
+            "config": {
+                "insert_extract": {
+                    "alpha": self.config.insert_extract.alpha,
+                    "method": _METHOD_TO_JSON[self.config.insert_extract.method],
                 },
-                "watermarks": [
-                    {"values": [float(v) for v in wm.values],
-                     "description": wm.description}
-                    for wm in self.watermarks
-                ],
-            }
+                "ordering": _ORDERING_TO_JSON[self.config.ordering],
+            },
+            "watermarks": [
+                {"values": [float(v) for v in wm.values],
+                 "description": wm.description}
+                for wm in self.watermarks
+            ],
         }
-        return json.dumps(obj, indent=2)
+        if self.precision is not None:
+            v1["precision"] = _PRECISION_TO_JSON[self.precision]
+        return json.dumps({"Version1": v1}, indent=2)
 
     @staticmethod
     def from_json(text: str) -> "WatermarkStorage":
@@ -106,7 +126,10 @@ class WatermarkStorage:
                                description=wm.get("description", ""))
             for wm in v1["watermarks"]
         ]
-        return WatermarkStorage(config=config, watermarks=watermarks)
+        precision = (_JSON_TO_PRECISION[v1["precision"]]
+                     if "precision" in v1 else None)
+        return WatermarkStorage(config=config, watermarks=watermarks,
+                                precision=precision)
 
 
 def interpret_legacy_watermark(text: str) -> WatermarkStorage:

@@ -200,3 +200,30 @@ def test_precision_flag_roundtrip(workdir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Matches: true" in out
+
+
+def test_stored_precision_selects_extraction_tier(workdir, capsys):
+    # Fast-tier rank order is deterministic per tier but not across tiers,
+    # so the embedding tier is recorded in the watermark json and `test`
+    # extracts at that tier automatically (no --precision needed).
+    rc = cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "12",
+                   "--precision", "default"])
+    assert rc == 0
+    capsys.readouterr()
+    obj = json.loads((workdir / "cat_wm.json").read_text())
+    assert obj["Version1"]["precision"] == "Default"
+    rc = cli.main(["test", str(workdir / "cat.jpg"),
+                   str(workdir / "cat_wm.png"), str(workdir / "cat_wm.json")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Matches: true" in out
+    # HIGHEST-tier files stay byte-compatible with the reference schema:
+    # no precision key at all.
+    rc = cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "13"])
+    assert rc == 1  # no-overwrite guard on the first run's outputs
+    (workdir / "cat_wm.png").unlink()
+    (workdir / "cat_wm.json").unlink()
+    rc = cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "13"])
+    assert rc == 0
+    obj = json.loads((workdir / "cat_wm.json").read_text())
+    assert "precision" not in obj["Version1"]

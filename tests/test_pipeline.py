@@ -126,16 +126,39 @@ def test_batched_shared_multimark_matches_highest(cat_image, precision):
     assert got.min() > 4.0, got
 
 
-def test_writer_reader_tester_wrappers(cat_image):
+@pytest.mark.parametrize("precision", [wm.Precision.HIGHEST, wm.Precision.HIGH,
+                                       wm.Precision.DEFAULT])
+def test_writer_reader_tester_wrappers(cat_image, precision):
+    # The wrapper (prepared-base) read path must stay reference-grade at
+    # every tier: at the fast tiers it caches (indices, base values) from
+    # the Writer's own prologue and transforms the luma *difference*
+    # (pipeline.rank_base/extract_ranked) -- two independently bf16-rounded
+    # coefficient planes would bury the watermark in rounding noise
+    # (regression: round-3 Reader-at-DEFAULT bug, 5.6 sigma vs 30.8).
     mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(6), N))
-    marked = wm.Writer(cat_image).mark(mark)
+    wcfg = wm.WriteConfig(precision=precision)
+    rcfg = wm.ReadConfig(precision=precision)
+    marked = wm.Writer(cat_image, wcfg).mark(mark)
     assert marked.dtype == np.uint8 and marked.shape == cat_image.shape
-    reader = wm.Reader.base(cat_image)
+    reader = wm.Reader.base(cat_image, rcfg)
     ext = reader.extract(wm.Reader.derived(marked), N)
     sim = wm.Tester(ext).similarity(mark)
     assert sim.exceeds_sigma(25.0)
-    assert not wm.Tester(ext).similarity(
-        np.asarray(wm.generate_normal(jax.random.PRNGKey(7), N))).exceeds_sigma(3.0)
+    other = np.asarray(wm.generate_normal(jax.random.PRNGKey(7), N))
+    assert not wm.Tester(ext).similarity(other).exceeds_sigma(3.0)
+    # The cached base work must serve a second derived image (the reference
+    # CLI's extraction cache, examples/main.rs:369-412).
+    marked2 = wm.Writer(cat_image, wcfg).mark(other)
+    ext2 = reader.extract(wm.Reader.derived(marked2), N)
+    assert wm.Tester(ext2).similarity(other).exceeds_sigma(25.0)
+    # The wrapper must agree with the functional read path: bit-for-bit at
+    # the fast tiers (same prologue, same tail); at HIGHEST the prepared
+    # full-plane form differs from the fused sparse derived transform only
+    # by f32 reassociation.
+    direct = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(marked),
+                                   N, rcfg))
+    atol = 1e-3 if precision is wm.Precision.HIGHEST else 1e-5
+    np.testing.assert_allclose(ext, direct, atol=atol)
 
 
 def test_option1_and_option3_end_to_end(cat_image):
@@ -187,6 +210,20 @@ def test_sparse_derived_matches_full_read_path(embedded):
     full = np.asarray(wm.extract(jnp.asarray(cat), jnp.asarray(marked), N,
                                  sparse_derived=False))
     np.testing.assert_allclose(fast, full, atol=1e-4)
+    # At the fast tiers the flag selects gather-dot vs full second pass of
+    # the *delta* plane; both are delta-exact and must agree to bf16-dot
+    # reassociation tolerance on the extracted mark (unit-scale values).
+    # Same-tier roundtrip (write and read share the tier -- the production
+    # contract; cross-tier rank order differs, see approx_top_indices).
+    wcfg = wm.WriteConfig(precision=wm.Precision.DEFAULT)
+    rcfg = wm.ReadConfig(precision=wm.Precision.DEFAULT)
+    marked_d = np.asarray(wm.embed(jnp.asarray(cat), jnp.asarray(mark), wcfg))
+    fast_d = np.asarray(wm.extract(jnp.asarray(cat), jnp.asarray(marked_d), N, rcfg))
+    full_d = np.asarray(wm.extract(jnp.asarray(cat), jnp.asarray(marked_d), N, rcfg,
+                                   sparse_derived=False))
+    np.testing.assert_allclose(fast_d, full_d, atol=2e-2)
+    sim = np.asarray(wm.similarity(jnp.asarray(full_d), jnp.asarray(mark[None])))[0]
+    assert sim > 25.0, sim
 
 
 def test_error_conditions(cat_image):

@@ -61,3 +61,27 @@ def test_legacy_wm_interpretation(tmp_path):
 def test_unknown_version_rejected():
     with pytest.raises(ValueError, match="version"):
         storage.WatermarkStorage.from_json('{"Version2": {}}')
+
+
+def test_precision_field_roundtrip():
+    # The embedding tier is recorded so extraction runs at the same tier
+    # (fast-tier rank order is per-tier deterministic); absent -- as in every
+    # reference-written file -- means HIGHEST (None here, resolved by the CLI).
+    from spread_spectrum_watermarking_tpu.config import Precision
+
+    st = storage.WatermarkStorage(
+        config=storage.Configuration(),
+        watermarks=[storage.DescribedWatermark(values=[1.0])],
+        precision=Precision.DEFAULT,
+    )
+    obj = json.loads(st.to_json())
+    assert obj["Version1"]["precision"] == "Default"
+    back = storage.WatermarkStorage.from_json(st.to_json())
+    assert back.precision is Precision.DEFAULT
+
+    st_hi = storage.WatermarkStorage(
+        config=storage.Configuration(),
+        watermarks=[storage.DescribedWatermark(values=[1.0])],
+    )
+    assert "precision" not in json.loads(st_hi.to_json())["Version1"]
+    assert storage.WatermarkStorage.from_json(st_hi.to_json()).precision is None
