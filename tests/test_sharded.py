@@ -263,3 +263,41 @@ def test_corpus_dp_tp_roundtrip(cat_image):
         jnp.asarray(crops), jnp.asarray(marked), n))
     agree = np.abs(ext - ext_single) < 5e-2
     assert agree.mean() > 0.99, agree.mean()
+
+
+def test_staged_pipeline_matches_fast_path():
+    # Pipeline-parallel (GPipe-style) embed: the staged schedule must be a
+    # pure execution-order change -- bit-identical u8 output to the fast-path
+    # pipeline per microbatch (SURVEY.md section 2.1 PP row).
+    from spread_spectrum_watermarking_tpu.config import Precision, WriteConfig
+    from spread_spectrum_watermarking_tpu.models import pipeline
+    from spread_spectrum_watermarking_tpu.parallel import pipeline_staged as ps
+
+    rng = np.random.default_rng(7)
+    m, b, h, w = 4, 2, 96, 128
+    imgs = rng.integers(0, 256, (m, b, h, w, 3), dtype=np.uint8)
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(1), 50))
+    mesh = ps.make_stage_mesh()
+    for prec in (Precision.DEFAULT, Precision.HIGH):
+        cfg = WriteConfig(precision=prec)
+        out = np.asarray(ps.embed_staged(
+            jnp.asarray(imgs), jnp.asarray(marks), mesh, cfg))
+        ref = np.stack([
+            np.asarray(pipeline.embed(jnp.asarray(imgs[i]),
+                                      jnp.asarray(marks[None]), cfg))
+            for i in range(m)])
+        assert np.array_equal(out, ref), prec
+    # Multi-mark staging follows the same delta-additive semantics.
+    marks4 = np.asarray(wm.generate_normal(jax.random.PRNGKey(2), 50, count=4))
+    cfg = WriteConfig(precision=Precision.DEFAULT)
+    out = np.asarray(ps.embed_staged(
+        jnp.asarray(imgs), jnp.asarray(marks4), mesh, cfg))
+    ref = np.stack([
+        np.asarray(pipeline.embed(jnp.asarray(imgs[i]), jnp.asarray(marks4),
+                                  cfg))
+        for i in range(m)])
+    assert np.array_equal(out, ref)
+    # HIGHEST is the reference-exact parity tier; it is not staged.
+    with pytest.raises(ValueError, match="fast-tier"):
+        ps.embed_staged(jnp.asarray(imgs), jnp.asarray(marks), mesh,
+                        WriteConfig(precision=Precision.HIGHEST))
