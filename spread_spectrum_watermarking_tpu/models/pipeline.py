@@ -81,7 +81,10 @@ def _sparse_idct_delta(
         out = jnp.einsum("...hn,...wn->...hw", scaled,
                          b.astype(jnp.bfloat16), precision=p,
                          preferred_element_type=jnp.float32)
-        return out
+        # dY is an alpha-scale perturbation (~2e-3); bf16 storage noise on it
+        # (~0.4% relative = ~8e-6 absolute) is far below the 1/255 output
+        # quantization step, and halves the plane's HBM round trip.
+        return out.astype(jnp.bfloat16)
     out = jnp.einsum("...hn,...wn->...hw", scaled, b, precision=p)
     return out * (4.0 / (w * h))
 
@@ -156,10 +159,29 @@ def _rank_and_values_fast(
     h, w = rgb.shape[-3], rgb.shape[-2]
     ax = _shorter_axis(h, w)
     t = _half_pass(rgb, precision, ax, custom_metric is None)
+    return _rank_from_half(t, n, ordering, custom_metric, h, w, ax)
+
+
+def _rank_from_half(t: jax.Array, n: int, ordering, custom_metric,
+                    h: int, w: int, ax: int) -> Tuple[jax.Array, jax.Array]:
+    """Second DCT pass + ranking, from a half-transformed plane.
+
+    Split out of :func:`_rank_and_values_fast` so every consumer of the fast
+    prologue (including the staged pipeline, parallel/pipeline_staged.py)
+    shares one definition of the plane numerics -- Writer/Reader/stage
+    agreement is bit-exact because this IS the same code.
+
+    bf16 plane storage: the plane only feeds bf16 ranking keys and the
+    value estimates that cancel out of detection, so rounding its
+    f32-accumulated dot output to bf16 halves the largest HBM intermediate
+    on the path (16.6 -> 8.3 MB/img at 1080p) without touching the
+    quality-gate statistics. The re-sort/metric math upcasts the n gathered
+    values back to f32 (ops/ranking.approx_top_indices).
+    """
     other = -1 if ax == -2 else -2
     plane = dct.dct2_pass(
         t if t.dtype == jnp.bfloat16 else t.astype(jnp.bfloat16),
-        axis=other, precision=Precision.DEFAULT)  # f32 accumulation out
+        axis=other, precision=Precision.DEFAULT, out_dtype=jnp.bfloat16)
     with jax.named_scope("ssw.rank"):
         idx, vals = ranking.approx_top_indices(plane, n, ordering,
                                                custom_metric=custom_metric)

@@ -207,7 +207,8 @@ def approx_top_indices(
     neg_inf = jnp.asarray(-jnp.inf, dtype=keys.dtype)
     keys = keys.at[..., 0].set(neg_inf)
     _, idx = jax.lax.approx_max_k(keys, n)
-    cand_c = jnp.take_along_axis(flat_c, idx, axis=-1)  # the ONE gather
+    # The ONE gather; f32 value estimates downstream even for bf16 planes.
+    cand_c = jnp.take_along_axis(flat_c, idx, axis=-1).astype(jnp.float32)
     if custom_metric is not None:
         cand_m = custom_metric(idx, cand_c).astype(jnp.float32)
         cand_m = jnp.where(idx == 0, -jnp.inf, cand_m)  # keep DC masked

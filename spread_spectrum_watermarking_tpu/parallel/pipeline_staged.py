@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Precision, WriteConfig
 from ..models import pipeline
-from ..ops import colorspace, dct, modulation, ranking
+from ..ops import colorspace, modulation
 
 STAGE_AXIS = "stage"
 N_STAGES = 3
@@ -68,15 +68,14 @@ def _stage0(mb_u8, config: WriteConfig):
 
 
 def _stage1(t, marks, config: WriteConfig, h: int, w: int):
-    """Half-transformed plane -> (delta, idx): second pass, rank, modulate."""
+    """Half-transformed plane -> (delta, idx): second pass, rank, modulate.
+
+    The pass/rank numerics are pipeline._rank_from_half itself -- shared
+    code, so staged and single-device results are bit-identical.
+    """
     ax = pipeline._shorter_axis(h, w)
-    other = -1 if ax == -2 else -2
-    plane = dct.dct2_pass(
-        t if t.dtype == jnp.bfloat16 else t.astype(jnp.bfloat16),
-        axis=other, precision=Precision.DEFAULT)
-    idx, original = ranking.approx_top_indices(
-        plane, marks.shape[-1], config.ordering,
-        custom_metric=config.custom_ordering)
+    idx, original = pipeline._rank_from_half(
+        t, marks.shape[-1], config.ordering, config.custom_ordering, h, w, ax)
     if marks.ndim == 2:
         marks = jnp.broadcast_to(marks[None],
                                  (original.shape[0],) + marks.shape)
