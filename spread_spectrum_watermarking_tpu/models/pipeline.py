@@ -535,6 +535,11 @@ def extract(
     """Extract length-``n`` watermark(s): full read path, batched.
 
     ``base`` and ``derived`` are ``(B, H, W, 3)`` or ``(H, W, 3)`` images.
+    ``config.precision`` must be the tier the watermark was EMBEDDED at:
+    the fast tiers' rank order is deterministic per tier but reorders
+    near-tie energies across tiers, so reading at a different tier scrambles
+    the mark-element pairing (the CLI records the tier in the watermark
+    JSON for exactly this reason; see README "Precision tiers").
     ``sparse_derived`` (default) computes the derived image's coefficients
     only at the n ranked indices (~1.4x faster read path at 1080p); False
     forces the reference-style full second transform (at fast tiers: a full
