@@ -21,8 +21,8 @@ experiment, not a numerics fork.
 
 Measured verdict (recorded for BASELINE config completeness): on this
 workload data parallelism dominates. Measured on the 8-virtual-device CPU
-mesh (12 microbatches x 2 images of 256x384, n=200): 3-stage PP 84.3 ms vs
-3-device DP 33.8 ms on the *same* devices -- PP/DP = 2.5x, outputs
+mesh (12 microbatches x 2 images of 256x384, n=200): 3-stage PP 92.1 ms vs
+3-device DP 31.9 ms on the *same* devices -- PP/DP = 2.9x, outputs
 bit-identical. The reasons are structural, not tuning: PP moves a bf16
 half-plane activation between stages per microbatch where DP moves nothing,
 the three stages are FLOP-imbalanced (two full-plane dots vs one skinny
@@ -143,15 +143,16 @@ def _embed_staged_jit(images, marks, mesh, config):
             out_buf = jax.lax.dynamic_update_index_in_dim(
                 out_buf, jnp.where(write, out_mb, cur), safe_id, 0)
 
-            # One collective shift: every stage hands its activation to the
-            # next ([(0,1), (1,2)]); stage 0 receives zeros (it reads fresh
-            # input), the last stage's send has no receiver. Only the
-            # activation pytree moves -- finished u8 outputs stay put.
-            act = jax.tree.map(
-                lambda x: jax.lax.ppermute(
-                    x, STAGE_AXIS,
-                    [(s, s + 1) for s in range(N_STAGES - 1)]),
-                act)
+            # Shift each activation only along the edge that consumes it:
+            # the bf16 half-plane moves 0 -> 1, the (delta, idx) pair moves
+            # 1 -> 2 -- halving inter-stage traffic vs shifting the whole
+            # pytree on every edge. Non-receiving devices get zeros; the
+            # last stage's send has no receiver.
+            act = {
+                "t": jax.lax.ppermute(act["t"], STAGE_AXIS, [(0, 1)]),
+                "delta": jax.lax.ppermute(act["delta"], STAGE_AXIS, [(1, 2)]),
+                "idx": jax.lax.ppermute(act["idx"], STAGE_AXIS, [(1, 2)]),
+            }
             return out_buf, act
 
         out_buf = jnp.zeros((m, bmb, h, w, 3), jnp.uint8)
