@@ -107,15 +107,15 @@ def main():
     # approx_max_k ranking on the metric plane
     rank_plane = jax.jit(rank_pass)(t_half)
     def topk_step(r):
-        idx = ranking.approx_top_indices(r.astype(jnp.float32),
-                                         N, wcfg.ordering)
+        idx, _ = ranking.approx_top_indices(r.astype(jnp.float32),
+                                            N, wcfg.ordering)
         return r * (1.0 + idx[0, 0].astype(r.dtype) * 1e-35)
     report("approx_max_k rank (incl. metric)", timed_scan(
         topk_step, rank_plane.astype(jnp.float32)))
 
     # gather-dot values at indices
-    idx0 = jax.jit(lambda r: ranking.approx_top_indices(r, N, wcfg.ordering))(
-        jax.jit(rank_pass)(t_half))
+    idx0 = jax.jit(lambda r: ranking.approx_top_indices(
+        r, N, wcfg.ordering)[0])(jax.jit(rank_pass)(t_half))
     def vals_step(c):
         t, idx = c
         v = dct.dct2_dot_at(t, idx, contracted_axis=-2, precision=PREC)

@@ -95,7 +95,8 @@ class Reader:
     def __init__(self, image, config: ReadConfig = ReadConfig()):
         self._rgb = _as_rgb_array(image)
         self._config = config
-        self._cache = {}  # n -> (flat_coeffs, indices)
+        self._cache = {}  # n -> (flat, idx) at HIGHEST / (idx, vals) fast
+        self._flat: Optional[np.ndarray] = None  # coefficients() memo
 
     @staticmethod
     def base(image, config: ReadConfig = ReadConfig()) -> "Reader":
@@ -128,11 +129,16 @@ class Reader:
     def coefficients(self) -> np.ndarray:
         """Flat DCT coefficient plane of the base image
         (reference accessor: src/algorithm.rs:502-504). Computed directly --
-        no ranking is needed for this view."""
+        no ranking is needed for this view -- and memoized (at the fast
+        tiers the extraction cache holds no plane, so this accessor keeps
+        its own)."""
         if not self._fast:
             for flat, _ in self._cache.values():
                 return np.asarray(flat)
-        return np.asarray(pipeline.prepare_derived(self._rgb, self._config))
+        if self._flat is None:
+            self._flat = np.asarray(
+                pipeline.prepare_derived(self._rgb, self._config))
+        return self._flat
 
     def indices(self, n: int) -> np.ndarray:
         pair = self._prepared(n)

@@ -146,6 +146,56 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
     return results
 
 
+def run_cached_extract_bench(batch: int = 32, size: str = "1080p",
+                             length: int = 1000, iters: int = 64,
+                             precision: str = "default") -> dict:
+    """Reader-cached extraction: one set of originals served against a stream
+    of derived images.
+
+    The reference CLI caches the base reader's work (coefficients + ranked
+    indices) and re-derives only the watermarked image per test
+    (examples/main.rs:369-412). Here the cached work is
+    :func:`..models.pipeline.rank_base` (the fast prologue's indices + value
+    estimates) and each derived image costs only the delta-exact diff
+    transform + gather-dot (:func:`..models.pipeline.extract_ranked`) -- the
+    steady-state cost of a detection service whose originals are fixed.
+    Fast (non-HIGHEST) tiers only.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models import pipeline
+
+    h, w = parse_size(size)
+    prec = Precision(precision)
+    if prec is Precision.HIGHEST:
+        raise ValueError("cached-extract bench measures the fast tiers")
+    wcfg = WriteConfig(precision=prec)
+    rcfg = ReadConfig(precision=prec)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8))
+    marks = jnp.asarray(
+        rng.standard_normal((batch, 1, length)).astype(np.float32))
+    marked = pipeline.embed(images, marks, wcfg)
+    idx, vals = pipeline.rank_base(images, length, rcfg)
+
+    def step(carry):
+        base, derived, idx, vals = carry
+        ext = pipeline.extract_ranked(base, derived, idx, vals, rcfg)
+        # Bit-exact identity data dependence (see run_bench.extract_step).
+        flip = (ext[0, 0] * 1e-30).astype(jnp.uint8)
+        return base, derived ^ flip, idx, vals
+
+    t = _timed_scan(step, (images, marked, idx, vals), iters)
+    return {
+        "size": f"{h}x{w}", "batch": batch, "length": length,
+        "precision": prec.value,
+        "cached_extract_images_per_sec": batch / t,
+        "extract_ms_per_image": 1e3 * t / batch,
+    }
+
+
 def run_similarity_sweep_bench(n_extracted: int = 1024, n_marks: int = 10000,
                                length: int = 1000, iters: int = 10) -> dict:
     """The 10k-watermark similarity sweep (BASELINE.json config 4): one matmul."""

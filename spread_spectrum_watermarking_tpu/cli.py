@@ -326,12 +326,18 @@ def cmd_batch(args) -> int:
 def cmd_bench(args) -> int:
     import json as _json
 
-    from .bench import (run_bench, run_corpus_bench,
+    from .bench import (run_bench, run_cached_extract_bench, run_corpus_bench,
                         run_corpus_sharded_bench, run_similarity_sweep_bench)
 
     if args.config == "throughput":
         run_bench(batch=args.batch, size=args.size, length=args.length,
                   iters=args.iters, profile_dir=args.profile_dir)
+    elif args.config == "extract-cached":
+        # Reader-cached detection service: fixed originals, streamed derived.
+        res = run_cached_extract_bench(batch=args.batch, size=args.size,
+                                       length=args.length, iters=args.iters)
+        print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in res.items()}))
     elif args.config == "corpus":
         # BASELINE config 4: 1024-image corpus + 10k-watermark sweep.
         res = run_corpus_bench(n_images=args.corpus_images, chunk=args.batch,
@@ -405,10 +411,13 @@ def main(argv=None) -> int:
     p_bench.add_argument("--profile-dir", default=None,
                          help="Write a jax.profiler trace here (TensorBoard).")
     p_bench.add_argument("--config", default="throughput",
-                         choices=["throughput", "corpus", "corpus-sharded", "sweep"],
+                         choices=["throughput", "extract-cached", "corpus",
+                                  "corpus-sharded", "sweep"],
                          help="throughput: steady-state embed/extract; "
-                              "corpus: end-to-end corpus + mark-database "
-                              "sweep; sweep: similarity matmul only.")
+                              "extract-cached: fixed originals, streamed "
+                              "derived (reader cache); corpus: end-to-end "
+                              "corpus + mark-database sweep; sweep: "
+                              "similarity matmul only.")
     p_bench.add_argument("--corpus-images", type=int, default=1024)
     p_bench.add_argument("--sweep-marks", type=int, default=10000)
 

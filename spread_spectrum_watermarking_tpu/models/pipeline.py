@@ -159,11 +159,11 @@ def _rank_and_values_fast(
     h, w = rgb.shape[-3], rgb.shape[-2]
     ax = _shorter_axis(h, w)
     t = _half_pass(rgb, precision, ax, custom_metric is None)
-    return _rank_from_half(t, n, ordering, custom_metric, h, w, ax)
+    return _rank_from_half(t, n, ordering, custom_metric, ax)
 
 
 def _rank_from_half(t: jax.Array, n: int, ordering, custom_metric,
-                    h: int, w: int, ax: int) -> Tuple[jax.Array, jax.Array]:
+                    ax: int) -> Tuple[jax.Array, jax.Array]:
     """Second DCT pass + ranking, from a half-transformed plane.
 
     Split out of :func:`_rank_and_values_fast` so every consumer of the fast

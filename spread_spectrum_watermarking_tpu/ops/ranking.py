@@ -187,6 +187,13 @@ def approx_top_indices(
     still differs -- the fast tiers' plane carries bf16-dot rounding that
     reorders near-ties -- which is why write and read must use the same tier;
     the CLI records the tier in the watermark JSON to enforce this.)
+
+    COMPATIBILITY CONTRACT: this function's rank order is part of the stored
+    fast-tier watermark format -- a mark embedded at a fast tier is only
+    readable by a build that ranks identically. Any future change to the
+    selection or ordering here must introduce a NEW stored precision
+    spelling (e.g. "Default2" in utils/storage.py) rather than silently
+    changing what "Default" means.
     """
     h, w = coeffs.shape[-2], coeffs.shape[-1]
     size = h * w

@@ -61,10 +61,12 @@ def make_stage_mesh(n_stages: int = N_STAGES, devices=None) -> Mesh:
 
 def _stage0(mb_u8, config: WriteConfig):
     """u8 (B, H, W, 3) -> first-pass plane, matching _rank_and_values_fast's
-    prologue axis choice (pipeline._shorter_axis)."""
+    prologue axis choice AND its fused-kernel gate (custom orderings take
+    the XLA path there, so they must here too -- bit-identity contract)."""
     h, w = mb_u8.shape[-3], mb_u8.shape[-2]
     ax = pipeline._shorter_axis(h, w)
-    return pipeline._half_pass(mb_u8, config.precision, ax, True)
+    return pipeline._half_pass(mb_u8, config.precision, ax,
+                               config.custom_ordering is None)
 
 
 def _stage1(t, marks, config: WriteConfig, h: int, w: int):
@@ -75,7 +77,7 @@ def _stage1(t, marks, config: WriteConfig, h: int, w: int):
     """
     ax = pipeline._shorter_axis(h, w)
     idx, original = pipeline._rank_from_half(
-        t, marks.shape[-1], config.ordering, config.custom_ordering, h, w, ax)
+        t, marks.shape[-1], config.ordering, config.custom_ordering, ax)
     if marks.ndim == 2:
         marks = jnp.broadcast_to(marks[None],
                                  (original.shape[0],) + marks.shape)

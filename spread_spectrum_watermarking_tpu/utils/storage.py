@@ -24,9 +24,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import List
-
-from typing import Optional
+from typing import List, Optional
 
 from ..config import InsertExtract, Method, Ordering, Precision
 
