@@ -37,6 +37,7 @@ from .config import (
 from .marks import as_marks, generate_normal
 from .models.pipeline import (
     embed,
+    embed_verified,
     extract,
     extract_prepared,
     extract_ranked,
@@ -52,7 +53,7 @@ __all__ = [
     "Writer", "Reader", "ReaderDerived", "Tester", "Similarity",
     "WriteConfig", "ReadConfig", "InsertExtract", "Method", "Ordering",
     "Precision",
-    "embed", "extract", "similarity",
+    "embed", "embed_verified", "extract", "similarity",
     "prepare_base", "prepare_derived", "extract_prepared",
     "rank_base", "extract_ranked",
     "generate_normal", "as_marks",

@@ -196,6 +196,44 @@ def run_cached_extract_bench(batch: int = 32, size: str = "1080p",
     }
 
 
+def run_verified_bench(batch: int = 32, size: str = "1080p",
+                       length: int = 1000, iters: int = 64,
+                       precision: str = "default") -> dict:
+    """Fused embed+verify (:func:`..models.pipeline.embed_verified`): the
+    reference CLI's ``-p`` round trip as ONE XLA program sharing the base
+    prologue between the write and read sides. Measures images/sec for the
+    full mark-then-confirm cycle (cf. run_bench's separate-programs
+    embed_extract_images_per_sec, which re-derives the base for the read)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models import pipeline
+
+    h, w = parse_size(size)
+    prec = Precision(precision)
+    wcfg = WriteConfig(precision=prec)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8))
+    marks = jnp.asarray(
+        rng.standard_normal((batch, 1, length)).astype(np.float32))
+
+    def step(imgs):
+        marked, ext = pipeline.embed_verified(imgs, marks, wcfg)
+        # Chain: next iteration embeds into this iteration's output, with a
+        # data dependence on the extraction too (identity xor, see run_bench).
+        flip = (ext[0, 0] * 1e-30).astype(jnp.uint8)
+        return marked ^ flip
+
+    t = _timed_scan(step, images, iters)
+    return {
+        "size": f"{h}x{w}", "batch": batch, "length": length,
+        "precision": prec.value,
+        "embed_verified_images_per_sec": batch / t,
+        "ms_per_image": 1e3 * t / batch,
+    }
+
+
 def run_similarity_sweep_bench(n_extracted: int = 1024, n_marks: int = 10000,
                                length: int = 1000, iters: int = 10) -> dict:
     """The 10k-watermark similarity sweep (BASELINE.json config 4): one matmul."""

@@ -327,7 +327,8 @@ def cmd_bench(args) -> int:
     import json as _json
 
     from .bench import (run_bench, run_cached_extract_bench, run_corpus_bench,
-                        run_corpus_sharded_bench, run_similarity_sweep_bench)
+                        run_corpus_sharded_bench, run_similarity_sweep_bench,
+                        run_verified_bench)
 
     if args.config == "throughput":
         run_bench(batch=args.batch, size=args.size, length=args.length,
@@ -336,6 +337,12 @@ def cmd_bench(args) -> int:
         # Reader-cached detection service: fixed originals, streamed derived.
         res = run_cached_extract_bench(batch=args.batch, size=args.size,
                                        length=args.length, iters=args.iters)
+        print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in res.items()}))
+    elif args.config == "embed-verified":
+        # Fused mark-then-confirm round trip (one program).
+        res = run_verified_bench(batch=args.batch, size=args.size,
+                                 length=args.length, iters=args.iters)
         print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in res.items()}))
     elif args.config == "corpus":
@@ -411,7 +418,8 @@ def main(argv=None) -> int:
     p_bench.add_argument("--profile-dir", default=None,
                          help="Write a jax.profiler trace here (TensorBoard).")
     p_bench.add_argument("--config", default="throughput",
-                         choices=["throughput", "extract-cached", "corpus",
+                         choices=["throughput", "extract-cached",
+                                  "embed-verified", "corpus",
                                   "corpus-sharded", "sweep"],
                          help="throughput: steady-state embed/extract; "
                               "extract-cached: fixed originals, streamed "

@@ -371,6 +371,79 @@ def embed(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("config", "quantize"))
+def embed_verified(
+    rgb: jax.Array,
+    marks: jax.Array,
+    config: WriteConfig = WriteConfig(),
+    quantize: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Embed and immediately verify, sharing the base prologue: one program.
+
+    Returns ``(marked, extracted)`` where ``extracted`` is what
+    :func:`extract` would recover from the quantized output -- the
+    round-trip the reference CLI's ``-p`` flag performs with a full second
+    Writer/Reader derivation (examples/main.rs:306-316). Here the base
+    image's forward transform and ranking are computed ONCE and reused by
+    the read tail (legitimately: a Reader re-deriving them from the same
+    base image at the same tier produces bit-identical values), so the
+    verify costs only the diff transform + gather-dot on top of the embed.
+
+    Extraction inverts ``config.insertion`` (Option1/2/3). Custom insert
+    closures have no derivable inverse -- unsupported here; use
+    :func:`embed` + :func:`extract` with an explicit ``custom_extract``.
+    """
+    if config.custom_insert is not None:
+        raise ValueError("embed_verified cannot invert a custom_insert; "
+                         "use embed + extract with custom_extract")
+    single_image = rgb.ndim == 3
+    if single_image:
+        rgb = rgb[None]
+    if marks.ndim == 1:
+        marks = marks[None]
+    n = marks.shape[-1]
+    rconfig = ReadConfig(
+        extraction=config.insertion, ordering=config.ordering,
+        precision=config.precision, custom_ordering=config.custom_ordering)
+
+    if config.precision is not Precision.HIGHEST:
+        with jax.named_scope("ssw.forward"):
+            idx, original = _rank_and_values_fast(
+                rgb, n, config.ordering, config.precision,
+                config.custom_ordering)
+        marks_b = (jnp.broadcast_to(marks[None],
+                                    (original.shape[0],) + marks.shape)
+                   if marks.ndim == 2 else marks)
+        new_values = modulation.embed_marks(
+            original, marks_b, config.insertion.method,
+            config.insertion.alpha, indices=idx)
+        with jax.named_scope("ssw.inverse"):
+            delta = new_values - original
+            h, w = rgb.shape[-3], rgb.shape[-2]
+            if quantize and fused_dct.supported_epilogue(rgb.shape, rgb.dtype, n):
+                marked = fused_dct.embed_epilogue(rgb, delta, idx)
+            else:
+                dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
+                marked = jnp.clip(_to_f32(rgb) + dy[..., None], 0.0, 1.0)
+                if quantize:
+                    marked = colorspace.f32_to_u8(marked)
+        ext = _extract_fast_tail(rgb, marked, idx, original, rconfig)
+    else:
+        marked = embed(rgb, marks, config, quantize=quantize)
+        coeffs = _forward(rgb, config.precision)
+        idx = ranking.top_indices(coeffs, n, config.ordering,
+                                  custom_metric=config.custom_ordering)
+        base_vals = _batched_gather(coeffs.reshape(coeffs.shape[0], -1), idx)
+        yd = colorspace.rgb_to_luma(_to_f32(marked))
+        derived_vals = dct.dct2_coeffs_at(yd, idx, precision=config.precision)
+        ext = modulation.extract_values(
+            rconfig.extraction.method, rconfig.extraction.alpha,
+            base_vals, derived_vals)
+    if single_image:
+        return marked[0], ext[0]
+    return marked, ext
+
+
 @functools.partial(jax.jit, static_argnames=("config", "n"))
 def prepare_base(
     rgb: jax.Array,

@@ -232,3 +232,29 @@ def test_error_conditions(cat_image):
     h, w = cat_image.shape[:2]
     with pytest.raises(ValueError, match="exceeds available"):
         wm.extract(jnp.asarray(cat_image), jnp.asarray(cat_image), h * w)
+
+
+@pytest.mark.parametrize("precision", [wm.Precision.HIGHEST, wm.Precision.HIGH,
+                                       wm.Precision.DEFAULT])
+def test_embed_verified_matches_separate_calls(cat_image, precision):
+    # The fused embed+verify program (the reference CLI's -p round trip,
+    # examples/main.rs:306-316, sharing the base prologue) must produce the
+    # same marked image as embed() and an extraction equivalent to
+    # extract() on it.
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(21), N))
+    wcfg = wm.WriteConfig(precision=precision)
+    rcfg = wm.ReadConfig(precision=precision)
+    marked_v, ext_v = wm.embed_verified(jnp.asarray(cat_image),
+                                        jnp.asarray(mark), wcfg)
+    marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark), wcfg))
+    assert np.array_equal(np.asarray(marked_v), marked)
+    ext = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(marked),
+                                N, rcfg))
+    atol = 2e-3 if precision is wm.Precision.HIGHEST else 1e-5
+    np.testing.assert_allclose(np.asarray(ext_v), ext, atol=atol)
+    sim = float(np.asarray(wm.similarity(
+        jnp.asarray(np.asarray(ext_v)[None]), jnp.asarray(mark[None])))[0])
+    assert sim > 25.0, sim
+    with pytest.raises(ValueError, match="custom_insert"):
+        wm.embed_verified(jnp.asarray(cat_image), jnp.asarray(mark),
+                          wm.WriteConfig(custom_insert=lambda i, o, w: o))
