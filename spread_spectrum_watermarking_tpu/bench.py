@@ -113,9 +113,14 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
             # Data-dependence without perturbation: ext is ~O(1) at runtime,
             # so ext[0,0] * 1e30 underflows the uint8 cast to exactly 0 and
             # the xor is a bit-exact identity -- each iteration extracts
-            # from the *identical* u8 derived batch.
+            # from the *identical* u8 derived batch. Only ONE element is
+            # touched: xor-ing the whole batch costs a measurable ~20
+            # us/img of read+write traffic (XProf) that belongs to the
+            # harness, not the pipeline; the scalar update carries the same
+            # dependence (derived' <- ext) at in-place DUS cost.
             flip = (ext[0, 0] * 1e-30).astype(jnp.uint8)
-            return base, derived ^ flip
+            return base, derived.at[0, 0, 0, 0].set(
+                derived[0, 0, 0, 0] ^ flip)
 
         t_extract = _timed_scan(extract_step, (images, marked), iters)
 
@@ -185,7 +190,8 @@ def run_cached_extract_bench(batch: int = 32, size: str = "1080p",
         ext = pipeline.extract_ranked(base, derived, idx, vals, rcfg)
         # Bit-exact identity data dependence (see run_bench.extract_step).
         flip = (ext[0, 0] * 1e-30).astype(jnp.uint8)
-        return base, derived ^ flip, idx, vals
+        return (base, derived.at[0, 0, 0, 0].set(derived[0, 0, 0, 0] ^ flip),
+                idx, vals)
 
     t = _timed_scan(step, (images, marked, idx, vals), iters)
     return {
@@ -221,9 +227,10 @@ def run_verified_bench(batch: int = 32, size: str = "1080p",
     def step(imgs):
         marked, ext = pipeline.embed_verified(imgs, marks, wcfg)
         # Chain: next iteration embeds into this iteration's output, with a
-        # data dependence on the extraction too (identity xor, see run_bench).
+        # data dependence on the extraction too (single-element identity
+        # xor, see run_bench.extract_step).
         flip = (ext[0, 0] * 1e-30).astype(jnp.uint8)
-        return marked ^ flip
+        return marked.at[0, 0, 0, 0].set(marked[0, 0, 0, 0] ^ flip)
 
     t = _timed_scan(step, images, iters)
     return {

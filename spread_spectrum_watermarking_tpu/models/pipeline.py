@@ -78,13 +78,16 @@ def _sparse_idct_delta(
         # at 1080p) without changing the dot's numerics. The scale factor
         # is folded in BEFORE the bf16 rounding of ``scaled``.
         scaled = (scaled * (4.0 / (w * h))).astype(jnp.bfloat16)
-        out = jnp.einsum("...hn,...wn->...hw", scaled,
-                         b.astype(jnp.bfloat16), precision=p,
-                         preferred_element_type=jnp.float32)
         # dY is an alpha-scale perturbation (~2e-3); bf16 storage noise on it
         # (~0.4% relative = ~8e-6 absolute) is far below the 1/255 output
-        # quantization step, and halves the plane's HBM round trip.
-        return out.astype(jnp.bfloat16)
+        # quantization step, and halves the plane's HBM round trip. The
+        # bf16 output must be requested FROM the dot (f32 accumulate, round
+        # on emit -- same values as astype'ing an f32 result): a separate
+        # .astype lets XLA fold the convert into the consumer fusion and
+        # materialize the full f32 plane anyway (XProf: 8.3 MB/img written).
+        return jnp.einsum("...hn,...wn->...hw", scaled,
+                          b.astype(jnp.bfloat16), precision=p,
+                          preferred_element_type=jnp.bfloat16)
     out = jnp.einsum("...hn,...wn->...hw", scaled, b, precision=p)
     return out * (4.0 / (w * h))
 
