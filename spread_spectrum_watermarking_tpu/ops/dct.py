@@ -184,30 +184,67 @@ def dct2_dot_at(
     ``t`` is the intermediate after :func:`dct2_pass` over ``contracted_axis``
     (-2: rows already transformed, so the remaining contraction runs over W;
     -1: the mirror). For each flat index ``i = r*W + c`` this computes
-    ``coeff[r, c]`` via a gather + dot against the remaining basis -- the
-    read path only ever needs coefficients at the base image's n ranked
-    indices (reference: src/algorithm.rs:556-561), so the second full pass
-    is wasted work.
+    ``coeff[r, c]`` -- the read path only ever needs coefficients at the base
+    image's n ranked indices (reference: src/algorithm.rs:556-561), so the
+    second full pass is wasted work.
+
+    Formulation (fast tiers): a TPU gather of n random rows from a per-image
+    HBM plane costs ~50 ns/row (~50 us/img at n=1000, measured v5e) -- more
+    than the arithmetic it feeds. So instead of gathering ``t``'s rows, the
+    contraction runs as one batched MXU matmul against basis columns taken at
+    the requested positions (takes from a *shared* basis are cheap: they
+    vectorize across the batch), and the row selection happens afterwards as
+    a one-hot masked reduction over the skinny (..., H, n) product -- no
+    per-image gather anywhere. Measured 63 vs 104 us/img at 1080p/n=1000.
+
+    At HIGHEST the original gather+dot form is kept: its f32 dot contracts in
+    one reduction (parity-critical last-ulp behavior), and the f32 matmul of
+    the masked form would cost 8x MXU throughput for no accuracy gain.
     """
     h = t.shape[-2]
     w = t.shape[-1]
     p = jax_precision(precision)
     rows = idx // w
     cols = idx % w
-    # At DEFAULT the reduce rounds operands to bf16 anyway; gathering from a
-    # bf16 basis halves the (..., n, max(H, W)) operand's HBM round trip.
-    bdt = jnp.bfloat16 if precision is Precision.DEFAULT else None
+    lead = tuple(range(t.ndim - 2))
+    if precision is not Precision.HIGHEST and t.ndim != idx.ndim + 1:
+        raise ValueError(
+            "dct2_dot_at fast tiers need idx batch dims matching t")
     if contracted_axis in (-2, t.ndim - 2):
         # t = C_h @ Y; coeff[r, c] = t[r, :] . C_w[c, :]
+        if precision is not Precision.HIGHEST:
+            bdt = jnp.bfloat16 if precision is Precision.DEFAULT else jnp.float32
+            cw_t = jnp.asarray(dct2_basis(w)).T.astype(bdt)      # (W, Kw)
+            db = jnp.take(cw_t, cols, axis=1)                    # (W, ..., n)
+            db = jnp.moveaxis(db, 0, -2) if db.ndim > 2 else db  # (..., W, n)
+            x = jax.lax.dot_general(
+                t.astype(bdt), db, (((t.ndim - 1,), (db.ndim - 2,)),
+                                    (lead, lead)),
+                precision=p, preferred_element_type=jnp.float32)  # (..., H, n)
+            hh = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+            oh = (rows[..., None, :] == hh).astype(x.dtype)       # (..., H, n)
+            return jnp.einsum("...hn,...hn->...n", x, oh,
+                              preferred_element_type=jnp.float32)
         g = jnp.take_along_axis(t, rows[..., :, None], axis=-2)  # (..., n, W)
-        cw = jnp.asarray(dct2_basis(w))
-        cg = (cw.astype(bdt) if bdt else cw)[cols]  # (..., n, W)
+        cg = jnp.asarray(dct2_basis(w))[cols]  # (..., n, W)
         return jnp.einsum("...nw,...nw->...n", g, cg, precision=p,
                           preferred_element_type=jnp.float32)
     # t = Y @ C_w^T; coeff[r, c] = C_h[r, :] . t[:, c]
+    if precision is not Precision.HIGHEST:
+        bdt = jnp.bfloat16 if precision is Precision.DEFAULT else jnp.float32
+        ch_t = jnp.asarray(dct2_basis(h)).T.astype(bdt)          # (H, Kh)
+        db = jnp.take(ch_t, rows, axis=1)                        # (H, ..., n)
+        db = jnp.moveaxis(db, 0, -2) if db.ndim > 2 else db      # (..., H, n)
+        x = jax.lax.dot_general(
+            jnp.swapaxes(t, -1, -2).astype(bdt), db,
+            (((t.ndim - 1,), (db.ndim - 2,)), (lead, lead)),
+            precision=p, preferred_element_type=jnp.float32)      # (..., W, n)
+        ww = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+        oh = (cols[..., None, :] == ww).astype(x.dtype)
+        return jnp.einsum("...wn,...wn->...n", x, oh,
+                          preferred_element_type=jnp.float32)
     g = jnp.take_along_axis(t, cols[..., None, :], axis=-1)  # (..., H, n)
-    ch = jnp.asarray(dct2_basis(h))
-    cg = (ch.astype(bdt) if bdt else ch)[rows]  # (..., n, H)
+    cg = jnp.asarray(dct2_basis(h))[rows]  # (..., n, H)
     return jnp.einsum("...hn,...nh->...n", g, cg, precision=p,
                       preferred_element_type=jnp.float32)
 
