@@ -227,6 +227,10 @@ def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
             # dY plane ever exists in HBM.
             return fused_dct.embed_epilogue(rgb, delta, idx)
         dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
+        if quantize and rgb.dtype == jnp.uint8:
+            # Channel-planar integer-domain quantize (60 vs 77 us/img; see
+            # colorspace.add_luma_delta_u8).
+            return colorspace.add_luma_delta_u8(rgb, dy)
         out = jnp.clip(_to_f32(rgb) + dy[..., None], 0.0, 1.0)
     return colorspace.f32_to_u8(out) if quantize else out
 
@@ -425,6 +429,9 @@ def embed_verified(
             h, w = rgb.shape[-3], rgb.shape[-2]
             if quantize and fused_dct.supported_epilogue(rgb.shape, rgb.dtype, n):
                 marked = fused_dct.embed_epilogue(rgb, delta, idx)
+            elif quantize and rgb.dtype == jnp.uint8:
+                dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
+                marked = colorspace.add_luma_delta_u8(rgb, dy)
             else:
                 dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
                 marked = jnp.clip(_to_f32(rgb) + dy[..., None], 0.0, 1.0)

@@ -134,6 +134,30 @@ def f32_to_u8(rgb_f32: jax.Array) -> jax.Array:
     return jnp.floor(x + 0.5).astype(jnp.uint8)
 
 
+def add_luma_delta_u8(rgb_u8: jax.Array, dy: jax.Array) -> jax.Array:
+    """u8 RGB + luma delta -> watermarked u8 RGB, integer-domain quantize.
+
+    Computes ``f32_to_u8(clip(u8_to_f32(rgb) + dy[..., None], 0, 1))`` -- the
+    Writer's epilogue (reference: Writer::result + into_rgb8,
+    src/algorithm.rs:361-379, examples/main.rs:278) -- as
+    ``clamp(floor(x + 255*dy + 0.5), 0, 255)`` per channel. The two forms are
+    mathematically identical for any real dy (clip-then-scale == scale-then-
+    clamp around floor(.+0.5)); the arithmetic differs only in f32 rounding
+    ~1e-7 relative, far below the 1/255 quantization step.
+
+    Channel-planar formulation: each channel is sliced, updated, and the
+    three results stacked -- measured 60 vs 77 us/img at 1080p against the
+    broadcast form, whose (B, H, W, 3) f32 intermediate XLA materializes.
+    """
+    df = dy.astype(jnp.float32) * 255.0
+    outs = [
+        jnp.clip(jnp.floor(rgb_u8[..., k].astype(jnp.float32) + df + 0.5),
+                 0.0, 255.0).astype(jnp.uint8)
+        for k in range(3)
+    ]
+    return jnp.stack(outs, axis=-1)
+
+
 def np_f32_to_u8(rgb_f32: np.ndarray) -> np.ndarray:
     """Host-side (numpy) version of :func:`f32_to_u8` for IO paths."""
     x = np.clip(rgb_f32, 0.0, 1.0) * 255.0

@@ -63,3 +63,24 @@ def test_quantization_matches_image_crate():
     # host/device versions agree
     np.testing.assert_array_equal(
         colorspace.np_f32_to_u8(np.asarray(vals)), got)
+
+
+def test_add_luma_delta_u8_matches_reference_form():
+    # The integer-domain channel-planar epilogue must agree with the
+    # reference-form clip(u8/255 + dy) -> into_rgb8 chain
+    # (src/algorithm.rs:361-379 + examples/main.rs:278) on every byte,
+    # including values driven past both clip boundaries.
+    rng = np.random.default_rng(5)
+    rgb = jnp.asarray(rng.integers(0, 256, (2, 33, 41, 3), dtype=np.uint8))
+    dy = jnp.asarray(
+        (rng.standard_normal((2, 33, 41)) * 0.01).astype(np.float32))
+    # force some saturation on both sides
+    dy = dy.at[0, 0, :].set(2.0).at[0, 1, :].set(-2.0)
+    ref = colorspace.f32_to_u8(
+        jnp.clip(colorspace.u8_to_f32(rgb) + dy[..., None], 0.0, 1.0))
+    got = colorspace.add_luma_delta_u8(rgb, dy)
+    diff = np.abs(np.asarray(ref).astype(np.int32)
+                  - np.asarray(got).astype(np.int32))
+    # identical math; f32 rounding can differ only at exact .5 boundaries,
+    # which the random inputs here never hit.
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got)), diff.max()
