@@ -194,36 +194,82 @@ def approx_top_indices(
     selection or ordering here must introduce a NEW stored precision
     spelling (e.g. "Default2" in utils/storage.py) rather than silently
     changing what "Default" means.
+
+    GATHER-FREE VALUES: a TPU gather of n random elements from the per-image
+    HBM plane costs ~47 us/img at 1080p/n=1000 -- more than the PartialReduce
+    stream it follows. So for the built-in orderings the plane is never
+    gathered: the value estimate rides INSIDE the approx_max_k key. ENERGY /
+    ENERGY_ORTHOGONAL order by |v| (same order as v^2) with the coefficient's
+    sign bit stored in the bf16 key's LSB (a half-ulp perturbation of the
+    ordering, the same class as the bf16 key rounding itself); LEGACY orders
+    by the signed scaled value, which IS the estimate. The returned key
+    values reconstruct the signed coefficient estimates exactly as both the
+    Writer and Reader will see them -- one more LSB of rounding on top of the
+    plane's bf16 storage, and still a bit-identical function of the base
+    image on both sides, so the estimates keep cancelling out of detection.
     """
     h, w = coeffs.shape[-2], coeffs.shape[-1]
     size = h * w
     flat_c = coeffs.reshape(*coeffs.shape[:-2], size)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.bfloat16)
     if custom_metric is not None:
+        # Black-box metric: selection on bf16 keys, then the one gather.
         pos = jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
-        flat = custom_metric(pos, flat_c)
-    else:
-        m = ranking_metric(coeffs, ordering)
-        flat = m.reshape(*m.shape[:-2], -1)
-    # bf16 keys halve the PartialReduce stream; selection tolerates the
-    # rounding (it only perturbs the same near-boundary ties recall already
-    # covers), and the final order comes from the f32 re-sort below. The
-    # f32 metric itself stays a fused virtual plane: the re-sort keys are
-    # recomputed from the n gathered *coefficients*, never a gather from a
-    # materialized f32 metric array.
-    keys = flat.astype(jnp.bfloat16)
-    neg_inf = jnp.asarray(-jnp.inf, dtype=keys.dtype)
-    keys = keys.at[..., 0].set(neg_inf)
-    _, idx = jax.lax.approx_max_k(keys, n)
-    # The ONE gather; f32 value estimates downstream even for bf16 planes.
-    cand_c = jnp.take_along_axis(flat_c, idx, axis=-1).astype(jnp.float32)
-    if custom_metric is not None:
+        keys = custom_metric(pos, flat_c).astype(jnp.bfloat16)
+        keys = keys.at[..., 0].set(neg_inf)
+        _, idx = jax.lax.approx_max_k(keys, n)
+        cand_c = jnp.take_along_axis(flat_c, idx, axis=-1).astype(jnp.float32)
         cand_m = custom_metric(idx, cand_c).astype(jnp.float32)
         cand_m = jnp.where(idx == 0, -jnp.inf, cand_m)  # keep DC masked
+        _, sorted_idx, sorted_vals = jax.lax.sort(
+            (-cand_m, idx, cand_c), num_keys=2, dimension=-1)
+        return sorted_idx, sorted_vals
+
+    if ordering == Ordering.ENERGY:
+        scaled = flat_c
     else:
-        cand_m = _metric_from_values(cand_c, idx, h, w, ordering, size)
+        scale = jnp.asarray(_ortho_scale_map(h, w)).reshape(size)
+        scaled = flat_c * scale.astype(flat_c.dtype)
+    if ordering == Ordering.LEGACY:
+        # Signed scaled value is both the metric and (rescaled) the estimate.
+        keys = scaled.astype(jnp.bfloat16)
+        keys = keys.at[..., 0].set(neg_inf)
+        kv, idx = jax.lax.approx_max_k(keys, n)
+        sval = kv.astype(jnp.float32)
+        cand_m = sval
+    else:
+        # |scaled| orders like scaled^2; LSB of the bf16 key carries sign.
+        a = jnp.abs(scaled).astype(jnp.bfloat16)
+        au = jax.lax.bitcast_convert_type(a, jnp.uint16)
+        sgn = jnp.signbit(scaled).astype(jnp.uint16)
+        keys = jax.lax.bitcast_convert_type(
+            (au & jnp.uint16(0xFFFE)) | sgn, jnp.bfloat16)
+        keys = keys.at[..., 0].set(neg_inf)
+        kv, idx = jax.lax.approx_max_k(keys, n)
+        ku = jax.lax.bitcast_convert_type(kv, jnp.uint16)
+        mag = jax.lax.bitcast_convert_type(
+            ku & jnp.uint16(0xFFFE), jnp.bfloat16).astype(jnp.float32)
+        sval = jnp.where((ku & jnp.uint16(1)) != 0, -mag, mag)
+        cand_m = mag
+    if ordering == Ordering.ENERGY:
+        cand_c = sval
+    else:
+        scale_at = _scale_at_indices(idx, h, w)
+        cand_c = sval / scale_at
     _, sorted_idx, sorted_vals = jax.lax.sort(
         (-cand_m, idx, cand_c), num_keys=2, dimension=-1)
     return sorted_idx, sorted_vals
+
+
+def _scale_at_indices(flat_idx: jax.Array, height: int, width: int) -> jax.Array:
+    """Ortho rescale factor at flat indices (see :func:`_ortho_scale_map`)."""
+    s_k0_w = np.float32(np.sqrt(1.0 / (4.0 * width)))
+    s_w = np.float32(np.sqrt(1.0 / (2.0 * width)))
+    s_k0_h = np.float32(np.sqrt(1.0 / (4.0 * height)))
+    s_h = np.float32(np.sqrt(1.0 / (2.0 * height)))
+    row_f = jnp.where(flat_idx < width, s_k0_w, s_w)
+    col_f = jnp.where(flat_idx % width == 0, s_k0_h, s_h)
+    return row_f * col_f
 
 
 def top_indices(

@@ -91,8 +91,7 @@ def _stage2(mb_u8, delta, idx, config: WriteConfig):
     """(delta, idx) + original u8 -> watermarked u8 (the embed epilogue)."""
     h, w = mb_u8.shape[-3], mb_u8.shape[-2]
     dy = pipeline._sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
-    out = jnp.clip(pipeline._to_f32(mb_u8) + dy[..., None], 0.0, 1.0)
-    return colorspace.f32_to_u8(out)
+    return colorspace.add_luma_delta_u8(mb_u8, dy)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "config"))
