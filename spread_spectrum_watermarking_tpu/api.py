@@ -17,7 +17,7 @@ import numpy as np
 from .config import Precision, ReadConfig, WriteConfig
 from .marks import as_marks
 from .models import pipeline
-from .ops import colorspace, dct, ranking
+from .ops import ranking
 
 
 def _as_rgb_array(image) -> np.ndarray:
@@ -46,19 +46,28 @@ class Writer:
         self._coeffs: Optional[np.ndarray] = None
 
     def coefficients(self) -> np.ndarray:
-        """Y-channel DCT coefficients, shape (H, W)."""
+        """Y-channel DCT coefficients, shape (H, W) -- the plane the active
+        tier actually ranks on (exact f32 at HIGHEST; the production bf16
+        two-pass plane at the fast tiers). Reference accessor describes the
+        object's real state (src/algorithm.rs:319-321); so does this."""
         if self._coeffs is None:
-            f32 = colorspace.np_u8_to_f32(self._rgb) if self._rgb.dtype == np.uint8 \
-                else self._rgb.astype(np.float32)
-            import jax.numpy as jnp
-            yiq = colorspace.rgb_to_yiq(jnp.asarray(f32))
             self._coeffs = np.asarray(
-                dct.dct2_2d(yiq[..., 0], precision=self._config.precision))
+                pipeline.rank_plane(self._rgb, self._config.precision))
         return self._coeffs
 
     def indices(self, n: int) -> np.ndarray:
-        """Rank-ordered flat indices of the N strongest coefficients."""
+        """Rank-ordered flat indices of the N strongest coefficients --
+        exactly the indices :meth:`mark` embeds at, at every tier (the fast
+        tiers rank through the same ``pipeline.rank_base`` prologue the
+        jitted embed uses)."""
         import jax.numpy as jnp
+        if self._config.precision is not Precision.HIGHEST:
+            c = self._config
+            rcfg = ReadConfig(ordering=c.ordering, precision=c.precision,
+                              custom_ordering=c.custom_ordering,
+                              rank_version=c.rank_version)
+            idx, _ = pipeline.rank_base(self._rgb, n, rcfg)
+            return np.asarray(idx)
         return np.asarray(ranking.top_indices(
             jnp.asarray(self.coefficients()), n, self._config.ordering,
             custom_metric=self._config.custom_ordering))
@@ -84,8 +93,8 @@ class ReaderDerived:
 
     def coefficients(self) -> np.ndarray:
         if self._flat is None:
-            self._flat = np.asarray(
-                pipeline.prepare_derived(self._rgb, self._config))
+            self._flat = np.asarray(pipeline.rank_plane(
+                self._rgb, self._config.precision)).reshape(-1)
         return self._flat
 
 
@@ -128,7 +137,8 @@ class Reader:
 
     def coefficients(self) -> np.ndarray:
         """Flat DCT coefficient plane of the base image
-        (reference accessor: src/algorithm.rs:502-504). Computed directly --
+        (reference accessor: src/algorithm.rs:502-504) -- the plane the
+        active tier ranks on (``pipeline.rank_plane``). Computed directly --
         no ranking is needed for this view -- and memoized (at the fast
         tiers the extraction cache holds no plane, so this accessor keeps
         its own)."""
@@ -136,8 +146,8 @@ class Reader:
             for flat, _ in self._cache.values():
                 return np.asarray(flat)
         if self._flat is None:
-            self._flat = np.asarray(
-                pipeline.prepare_derived(self._rgb, self._config))
+            self._flat = np.asarray(pipeline.rank_plane(
+                self._rgb, self._config.precision)).reshape(-1)
         return self._flat
 
     def indices(self, n: int) -> np.ndarray:

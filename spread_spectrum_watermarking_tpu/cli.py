@@ -166,18 +166,21 @@ def cmd_test(args) -> int:
     retrieved: dict = {}
     for path, st in loaded:
         cfg = st.config
-        # Extract at the tier the file records (reference files record none
-        # -> HIGHEST, matching their exact rank order); --precision overrides.
+        # Extract at the tier AND ranking generation the file records
+        # (reference files record none -> HIGHEST, matching their exact rank
+        # order; "Default"/"High" spellings name generation-1 fast ranking,
+        # "Default2"/"High2" generation 2); --precision overrides the tier.
         if args.precision is not None:
             prec = _PRECISION_CHOICES[args.precision]
         else:
             prec = st.precision or Precision.HIGHEST
         for mark in st.watermarks:
-            key = (cfg, prec, len(mark.values))
+            key = (cfg, prec, st.rank_version, len(mark.values))
             if key not in retrieved:
                 rcfg = ReadConfig(extraction=cfg.insert_extract,
                                   ordering=cfg.ordering,
-                                  precision=prec)
+                                  precision=prec,
+                                  rank_version=st.rank_version)
                 retrieved[key] = np.asarray(extract(
                     jnp.asarray(base), jnp.asarray(watermarked),
                     len(mark.values), rcfg))

@@ -59,6 +59,18 @@ class Precision(str, enum.Enum):
     HIGHEST = "highest"
 
 
+#: Current fast-tier ranking generation. The fast (non-HIGHEST) tiers' rank
+#: order is part of the stored watermark format (ops/ranking.py COMPATIBILITY
+#: CONTRACT): version 1 selected on plain bf16 metric keys and gathered the
+#: n coefficient values from the plane; version 2 (current) is gather-free --
+#: the value estimate rides inside the ``approx_max_k`` key with the
+#: coefficient's sign in the bf16 key's LSB, which permutes near-tie/boundary
+#: selections relative to v1. Marks embedded under one version must be read
+#: under the same version; utils/storage.py spells the pair as
+#: "Default"/"High" (v1) vs "Default2"/"High2" (v2) so files self-describe.
+RANK_VERSION = 2
+
+
 @dataclasses.dataclass(frozen=True)
 class InsertExtract:
     """Method + strength pair, serialized into the watermark JSON store.
@@ -89,9 +101,14 @@ class WriteConfig:
     # ``OrderingMethod::Custom`` (src/algorithm.rs:150-151): a comparator
     # cannot be data-parallel, a metric can. Overrides ``ordering`` when set.
     custom_ordering: Optional[Callable] = None
+    # Fast-tier ranking generation (see RANK_VERSION). Only meaningful at the
+    # non-HIGHEST tiers; set to 1 to read/write marks in the legacy
+    # value-gather format.
+    rank_version: int = RANK_VERSION
 
     def __hash__(self):
         return hash((self.insertion, self.ordering, self.precision,
+                     self.rank_version,
                      id(self.custom_insert) if self.custom_insert else None,
                      id(self.custom_ordering) if self.custom_ordering else None))
 
@@ -109,9 +126,13 @@ class ReadConfig:
     # read path must rank with the same metric the write path used
     # (reference: src/algorithm.rs:462-498 re-derives the ordering).
     custom_ordering: Optional[Callable] = None
+    # Fast-tier ranking generation; must match the version the mark was
+    # EMBEDDED with (the CLI restores it from the stored spelling).
+    rank_version: int = RANK_VERSION
 
     def __hash__(self):
         return hash((self.extraction, self.ordering, self.precision,
+                     self.rank_version,
                      id(self.custom_extract) if self.custom_extract else None,
                      id(self.custom_ordering) if self.custom_ordering else None))
 

@@ -204,12 +204,14 @@ def dct2_dot_at(
     h = t.shape[-2]
     w = t.shape[-1]
     p = jax_precision(precision)
+    if t.ndim != idx.ndim + 1:
+        # Both forms below pair idx batch dims 1:1 with t's; broadcast shared
+        # indices (e.g. one (n,) set across a batched t) up front so every
+        # tier accepts the same shapes.
+        idx = jnp.broadcast_to(idx, t.shape[:-2] + idx.shape[-1:])
     rows = idx // w
     cols = idx % w
     lead = tuple(range(t.ndim - 2))
-    if precision is not Precision.HIGHEST and t.ndim != idx.ndim + 1:
-        raise ValueError(
-            "dct2_dot_at fast tiers need idx batch dims matching t")
     if contracted_axis in (-2, t.ndim - 2):
         # t = C_h @ Y; coeff[r, c] = t[r, :] . C_w[c, :]
         if precision is not Precision.HIGHEST:
@@ -222,9 +224,12 @@ def dct2_dot_at(
                                     (lead, lead)),
                 precision=p, preferred_element_type=jnp.float32)  # (..., H, n)
             hh = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
-            oh = (rows[..., None, :] == hh).astype(x.dtype)       # (..., H, n)
-            return jnp.einsum("...hn,...hn->...n", x, oh,
-                              preferred_element_type=jnp.float32)
+            # 0/1-masked reduction, NOT a dot: an einsum here would lower to
+            # a DEFAULT-precision dot_general and round the f32 dot output x
+            # back to bf16 before summing, discarding the f32 accumulation
+            # just paid for (ADVICE r3). The where+sum is exact and fuses.
+            return jnp.sum(jnp.where(rows[..., None, :] == hh, x, 0.0),
+                           axis=-2)
         g = jnp.take_along_axis(t, rows[..., :, None], axis=-2)  # (..., n, W)
         cg = jnp.asarray(dct2_basis(w))[cols]  # (..., n, W)
         return jnp.einsum("...nw,...nw->...n", g, cg, precision=p,
@@ -240,9 +245,8 @@ def dct2_dot_at(
             (((t.ndim - 1,), (db.ndim - 2,)), (lead, lead)),
             precision=p, preferred_element_type=jnp.float32)      # (..., W, n)
         ww = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)
-        oh = (cols[..., None, :] == ww).astype(x.dtype)
-        return jnp.einsum("...wn,...wn->...n", x, oh,
-                          preferred_element_type=jnp.float32)
+        # Exact masked reduction; see the mirror branch above.
+        return jnp.sum(jnp.where(cols[..., None, :] == ww, x, 0.0), axis=-2)
     g = jnp.take_along_axis(t, cols[..., None, :], axis=-1)  # (..., H, n)
     cg = jnp.asarray(dct2_basis(h))[rows]  # (..., n, H)
     return jnp.einsum("...hn,...nh->...n", g, cg, precision=p,

@@ -158,6 +158,7 @@ def approx_top_indices(
     n: int,
     ordering: Ordering,
     custom_metric=None,
+    version: int = 2,
 ):
     """TPU-native approximate top-n: one fused metric + ``approx_max_k``.
 
@@ -180,38 +181,63 @@ def approx_top_indices(
 
     Output is descending-metric ordered like the reference's full sort
     (src/algorithm.rs:204-210): the PartialReduce pass *selects* the n
-    candidates on bf16 keys, then the selection is re-sorted by its full-
-    precision metric with ascending-index tie-break -- an O(n log n) sort on
-    n elements, so rank order is determined by the metric plane's own values,
-    not the reduction's bucket order. (Rank order across *precision tiers*
-    still differs -- the fast tiers' plane carries bf16-dot rounding that
-    reorders near-ties -- which is why write and read must use the same tier;
-    the CLI records the tier in the watermark JSON to enforce this.)
+    candidates on bf16 keys, then the selection is re-sorted descending with
+    ascending-index tie-break -- an O(n log n) sort on n elements. At
+    ``version=2`` the re-sort key is the LSB-masked bf16 magnitude
+    reconstructed from the selection key itself (gather-free, see below); at
+    ``version=1`` (and for custom metrics) it is the f32 metric recomputed
+    from the gathered plane values. Either way the order is a deterministic
+    function of the metric plane, not the reduction's bucket order. (Rank
+    order across *precision tiers* still differs -- the fast tiers' plane
+    carries bf16-dot rounding that reorders near-ties -- which is why write
+    and read must use the same tier; the CLI records the tier in the
+    watermark JSON to enforce this.)
 
     COMPATIBILITY CONTRACT: this function's rank order is part of the stored
     fast-tier watermark format -- a mark embedded at a fast tier is only
-    readable by a build that ranks identically. Any future change to the
-    selection or ordering here must introduce a NEW stored precision
-    spelling (e.g. "Default2" in utils/storage.py) rather than silently
-    changing what "Default" means.
+    readable by a build that ranks identically. ``version`` names the
+    ranking generation (config.RANK_VERSION): utils/storage.py spells
+    version 1 as "Default"/"High" and version 2 as "Default2"/"High2", and
+    any future change to the selection or ordering must add a version (and
+    spelling) rather than silently changing what an existing one means.
 
-    GATHER-FREE VALUES: a TPU gather of n random elements from the per-image
-    HBM plane costs ~47 us/img at 1080p/n=1000 -- more than the PartialReduce
-    stream it follows. So for the built-in orderings the plane is never
-    gathered: the value estimate rides INSIDE the approx_max_k key. ENERGY /
-    ENERGY_ORTHOGONAL order by |v| (same order as v^2) with the coefficient's
-    sign bit stored in the bf16 key's LSB (a half-ulp perturbation of the
-    ordering, the same class as the bf16 key rounding itself); LEGACY orders
-    by the signed scaled value, which IS the estimate. The returned key
-    values reconstruct the signed coefficient estimates exactly as both the
-    Writer and Reader will see them -- one more LSB of rounding on top of the
-    plane's bf16 storage, and still a bit-identical function of the base
-    image on both sides, so the estimates keep cancelling out of detection.
+    ``version=1`` (legacy): selection on the plain bf16 metric keys, ONE
+    gather of the n coefficient values from the plane, f32-metric re-sort.
+
+    ``version=2``, GATHER-FREE VALUES (current): a TPU gather of n random
+    elements from the per-image HBM plane costs ~47 us/img at 1080p/n=1000
+    -- more than the PartialReduce stream it follows. So for the built-in
+    orderings the plane is never gathered: the value estimate rides INSIDE
+    the approx_max_k key. ENERGY / ENERGY_ORTHOGONAL order by |v| (same
+    order as v^2) with the coefficient's sign bit stored in the bf16 key's
+    LSB (a half-ulp perturbation of the ordering, the same class as the bf16
+    key rounding itself); LEGACY orders by the signed scaled value, which IS
+    the estimate. The returned key values reconstruct the signed coefficient
+    estimates exactly as both the Writer and Reader will see them -- one
+    more LSB of rounding on top of the plane's bf16 storage, and still a
+    bit-identical function of the base image on both sides, so the estimates
+    keep cancelling out of detection.
     """
     h, w = coeffs.shape[-2], coeffs.shape[-1]
     size = h * w
     flat_c = coeffs.reshape(*coeffs.shape[:-2], size)
     neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.bfloat16)
+    if version not in (1, 2):
+        raise ValueError(f"unknown fast-tier rank_version {version}")
+    if version == 1 and custom_metric is None:
+        # Legacy stored-format generation: plain bf16 metric keys, then the
+        # one value gather and an f32-metric re-sort. Kept verbatim so marks
+        # written as "Default"/"High" keep reading back with their original
+        # tie/boundary rank order.
+        m = ranking_metric(coeffs, ordering)
+        keys = m.reshape(*m.shape[:-2], size).astype(jnp.bfloat16)
+        keys = keys.at[..., 0].set(neg_inf)
+        _, idx = jax.lax.approx_max_k(keys, n)
+        cand_c = jnp.take_along_axis(flat_c, idx, axis=-1).astype(jnp.float32)
+        cand_m = _metric_from_values(cand_c, idx, h, w, ordering, size)
+        _, sorted_idx, sorted_vals = jax.lax.sort(
+            (-cand_m, idx, cand_c), num_keys=2, dimension=-1)
+        return sorted_idx, sorted_vals
     if custom_metric is not None:
         # Black-box metric: selection on bf16 keys, then the one gather.
         pos = jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
@@ -251,6 +277,11 @@ def approx_top_indices(
             ku & jnp.uint16(0xFFFE), jnp.bfloat16).astype(jnp.float32)
         sval = jnp.where((ku & jnp.uint16(1)) != 0, -mag, mag)
         cand_m = mag
+    # If n approaches the plane size the -inf-masked DC slot can be selected;
+    # its key reconstructs to -inf, which would poison downstream divisions
+    # (Option2/3 divide by the base value). Return 0.0 there instead -- the
+    # slot still sorts last (its re-sort key cand_m stays -inf).
+    sval = jnp.where(idx == 0, 0.0, sval)
     if ordering == Ordering.ENERGY:
         cand_c = sval
     else:

@@ -26,7 +26,7 @@ import json
 import os
 from typing import List, Optional
 
-from ..config import InsertExtract, Method, Ordering, Precision
+from ..config import RANK_VERSION, InsertExtract, Method, Ordering, Precision
 
 # serde spellings used by the reference CLI's enums (examples/main.rs:10-49).
 _METHOD_TO_JSON = {
@@ -43,12 +43,28 @@ _ORDERING_TO_JSON = {
 }
 _JSON_TO_ORDERING = {v: k for k, v in _ORDERING_TO_JSON.items()}
 
+# Fast-tier spellings carry the RANKING GENERATION (ops/ranking.py
+# COMPATIBILITY CONTRACT): the rank order a fast tier derives is part of the
+# stored format, and it changed between generation 1 (bf16-key selection +
+# value gather) and generation 2 (gather-free, sign-in-key-LSB). A mark file
+# therefore names its (tier, generation) pair so it always reads back with
+# the exact ranking it was embedded under. "Highest" is exact at every
+# generation and needs no suffix.
 _PRECISION_TO_JSON = {
-    Precision.HIGHEST: "Highest",
-    Precision.HIGH: "High",
-    Precision.DEFAULT: "Default",
+    (Precision.HIGHEST, 1): "Highest",
+    (Precision.HIGHEST, 2): "Highest",
+    (Precision.HIGH, 1): "High",
+    (Precision.DEFAULT, 1): "Default",
+    (Precision.HIGH, 2): "High2",
+    (Precision.DEFAULT, 2): "Default2",
 }
-_JSON_TO_PRECISION = {v: k for k, v in _PRECISION_TO_JSON.items()}
+_JSON_TO_PRECISION = {
+    "Highest": (Precision.HIGHEST, RANK_VERSION),
+    "High": (Precision.HIGH, 1),
+    "Default": (Precision.DEFAULT, 1),
+    "High2": (Precision.HIGH, 2),
+    "Default2": (Precision.DEFAULT, 2),
+}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,11 +96,17 @@ class WatermarkStorage:
     key the reference's serde ignores); absent -- including in every
     reference-written file -- it means ``Highest``, the tier whose ordering
     is exact and matches the reference's (value desc, index asc) sort.
+
+    ``rank_version`` names the fast-tier ranking generation the mark was
+    embedded under (config.RANK_VERSION); it rides inside the precision
+    spelling ("Default"/"High" = generation 1, "Default2"/"High2" =
+    generation 2) so files self-describe without a second schema key.
     """
 
     config: Configuration
     watermarks: List[DescribedWatermark]
     precision: Optional[Precision] = None
+    rank_version: int = RANK_VERSION
 
     def to_json(self) -> str:
         v1 = {
@@ -102,7 +124,8 @@ class WatermarkStorage:
             ],
         }
         if self.precision is not None:
-            v1["precision"] = _PRECISION_TO_JSON[self.precision]
+            v1["precision"] = _PRECISION_TO_JSON[
+                (self.precision, self.rank_version)]
         return json.dumps({"Version1": v1}, indent=2)
 
     @staticmethod
@@ -124,10 +147,13 @@ class WatermarkStorage:
                                description=wm.get("description", ""))
             for wm in v1["watermarks"]
         ]
-        precision = (_JSON_TO_PRECISION[v1["precision"]]
-                     if "precision" in v1 else None)
+        if "precision" in v1:
+            precision, rank_version = _JSON_TO_PRECISION[v1["precision"]]
+        else:
+            precision, rank_version = None, RANK_VERSION
         return WatermarkStorage(config=config, watermarks=watermarks,
-                                precision=precision)
+                                precision=precision,
+                                rank_version=rank_version)
 
 
 def interpret_legacy_watermark(text: str) -> WatermarkStorage:

@@ -211,7 +211,9 @@ def test_stored_precision_selects_extraction_tier(workdir, capsys):
     assert rc == 0
     capsys.readouterr()
     obj = json.loads((workdir / "cat_wm.json").read_text())
-    assert obj["Version1"]["precision"] == "Default"
+    # "Default2" = DEFAULT tier, fast-ranking generation 2 (utils/storage.py:
+    # the spelling names the (tier, generation) pair so files self-describe).
+    assert obj["Version1"]["precision"] == "Default2"
     rc = cli.main(["test", str(workdir / "cat.jpg"),
                    str(workdir / "cat_wm.png"), str(workdir / "cat_wm.json")])
     assert rc == 0

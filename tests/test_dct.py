@@ -127,3 +127,45 @@ def test_folded_matches_dense():
     np.testing.assert_allclose(a, b, rtol=0, atol=np.abs(b).max() * 1e-5)
     ia = np.asarray(dct.idct2_2d(jnp.asarray(a), fold=True))
     np.testing.assert_allclose(ia, np.asarray(x), rtol=0, atol=1e-4)
+
+
+def test_dct2_dot_at_broadcasts_shared_indices():
+    # Shared (n,) indices across a batched intermediate must work at every
+    # tier (the gather form's broadcast semantics; the fast tiers used to
+    # raise -- ADVICE r3 item 4).
+    rng = np.random.default_rng(7)
+    y = rng.normal(size=(3, 16, 24)).astype(np.float32)
+    idx = np.array([1, 5, 100, 383], dtype=np.int32)
+    exact = np.asarray(dct.dct2_2d(
+        jnp.asarray(y), precision=Precision.HIGHEST)).reshape(3, -1)[:, idx]
+    t = dct.dct2_pass(jnp.asarray(y), axis=-2, precision=Precision.HIGHEST)
+    for prec, rtol, atol in ((Precision.HIGHEST, 1e-5, 1e-5),
+                             (Precision.HIGH, 1e-4, 1e-3),
+                             # bf16 dot: absolute error scales with the sum
+                             # of |products|, not the (possibly cancelled)
+                             # output magnitude.
+                             (Precision.DEFAULT, 3e-2, 0.2)):
+        got = np.asarray(dct.dct2_dot_at(t, jnp.asarray(idx),
+                                         contracted_axis=-2, precision=prec))
+        assert got.shape == (3, 4)
+        np.testing.assert_allclose(got, exact, rtol=rtol, atol=atol)
+
+
+def test_dct2_dot_at_selection_reduction_is_exact():
+    # The one-hot selection after the fast-tier matmul must NOT round the
+    # f32 dot output to bf16 (ADVICE r3 item 2: an unqualified einsum lowered
+    # to a DEFAULT-precision dot and truncated the accumulation). At HIGH the
+    # whole gather-free form must therefore track the HIGHEST gather+dot form
+    # to f32-reassociation grade, not bf16 grade.
+    rng = np.random.default_rng(13)
+    y = rng.normal(size=(2, 64, 96)).astype(np.float32) * 10
+    idx = np.asarray(rng.integers(1, 64 * 96, size=(2, 200)), dtype=np.int32)
+    t = dct.dct2_pass(jnp.asarray(y), axis=-2, precision=Precision.HIGHEST)
+    exact = np.asarray(dct.dct2_dot_at(t, jnp.asarray(idx),
+                                       contracted_axis=-2,
+                                       precision=Precision.HIGHEST))
+    high = np.asarray(dct.dct2_dot_at(t, jnp.asarray(idx),
+                                      contracted_axis=-2,
+                                      precision=Precision.HIGH))
+    err = np.abs(high - exact) / np.maximum(np.abs(exact), 1e-3)
+    assert err.max() < 2e-3, err.max()

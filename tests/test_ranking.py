@@ -3,6 +3,7 @@ ortho-scaled orderings (src/algorithm.rs:235-280)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spread_spectrum_watermarking_tpu.config import Ordering
 from spread_spectrum_watermarking_tpu.ops import ranking
@@ -154,3 +155,32 @@ def test_custom_ordering_threads_through_pipeline():
     ext = extract(img, marked, 200, rcfg)
     sim = float(np.asarray(similarity(ext[None], mark[None]))[0, 0])
     assert sim > 10.0  # observed ~14.9 sigma on this 96x128 random image
+
+
+def test_approx_dc_slot_value_guarded():
+    # When n approaches the plane size the -inf-masked DC slot can enter the
+    # approx_max_k selection; its reconstructed 'value' must come back as a
+    # finite 0.0 (not -inf) so Option2/3's division by base values cannot
+    # produce inf/NaN, and the slot must sort last (ADVICE r3 item 5).
+    rng = np.random.default_rng(3)
+    plane = jnp.asarray(rng.normal(size=(1, 8, 8)).astype(np.float32))
+    idx, vals = ranking.approx_top_indices(plane, 64, Ordering.ENERGY)
+    idx, vals = np.asarray(idx), np.asarray(vals)
+    assert np.isfinite(vals).all(), vals
+    assert idx[0, -1] == 0          # DC present (n == size) and ranked last
+    assert vals[0, -1] == 0.0
+
+
+def test_approx_rank_version_1_matches_recorded_legacy_semantics():
+    # Generation 1 = plain bf16 metric keys + one value gather + f32-metric
+    # re-sort: the returned values must be the PLANE's values at the indices
+    # (not key reconstructions), bit-exactly.
+    rng = np.random.default_rng(11)
+    plane = jnp.asarray(rng.normal(size=(2, 32, 48)).astype(np.float32) * 50)
+    idx, vals = ranking.approx_top_indices(plane, 40, Ordering.ENERGY,
+                                           version=1)
+    flat = np.asarray(plane).reshape(2, -1)
+    np.testing.assert_array_equal(
+        np.asarray(vals), np.take_along_axis(flat, np.asarray(idx), axis=-1))
+    with pytest.raises(ValueError, match="rank_version"):
+        ranking.approx_top_indices(plane, 10, Ordering.ENERGY, version=3)

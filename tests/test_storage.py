@@ -67,7 +67,9 @@ def test_precision_field_roundtrip():
     # The embedding tier is recorded so extraction runs at the same tier
     # (fast-tier rank order is per-tier deterministic); absent -- as in every
     # reference-written file -- means HIGHEST (None here, resolved by the CLI).
-    from spread_spectrum_watermarking_tpu.config import Precision
+    # The spelling carries the fast-tier ranking GENERATION: current builds
+    # write "Default2"/"High2" (gather-free ranking, config.RANK_VERSION 2).
+    from spread_spectrum_watermarking_tpu.config import RANK_VERSION, Precision
 
     st = storage.WatermarkStorage(
         config=storage.Configuration(),
@@ -75,9 +77,10 @@ def test_precision_field_roundtrip():
         precision=Precision.DEFAULT,
     )
     obj = json.loads(st.to_json())
-    assert obj["Version1"]["precision"] == "Default"
+    assert obj["Version1"]["precision"] == "Default2"
     back = storage.WatermarkStorage.from_json(st.to_json())
     assert back.precision is Precision.DEFAULT
+    assert back.rank_version == RANK_VERSION == 2
 
     st_hi = storage.WatermarkStorage(
         config=storage.Configuration(),
@@ -85,3 +88,25 @@ def test_precision_field_roundtrip():
     )
     assert "precision" not in json.loads(st_hi.to_json())["Version1"]
     assert storage.WatermarkStorage.from_json(st_hi.to_json()).precision is None
+
+
+def test_legacy_fast_tier_spelling_maps_to_rank_version_1():
+    # "Default"/"High" (written by generation-1 builds, before the
+    # gather-free ranking) must read back as rank_version=1 so those marks
+    # keep extracting with their original tie/boundary rank order
+    # (ops/ranking.py COMPATIBILITY CONTRACT; ADVICE r3 item 1).
+    from spread_spectrum_watermarking_tpu.config import Precision
+
+    for spelling, tier in (("Default", Precision.DEFAULT),
+                           ("High", Precision.HIGH)):
+        text = json.dumps({"Version1": {
+            "config": {"insert_extract": {"alpha": 0.1, "method": "Option2"},
+                       "ordering": "Energy"},
+            "watermarks": [{"values": [1.0], "description": ""}],
+            "precision": spelling,
+        }})
+        st = storage.WatermarkStorage.from_json(text)
+        assert st.precision is tier
+        assert st.rank_version == 1
+        # and the legacy pair re-serializes under the legacy spelling
+        assert json.loads(st.to_json())["Version1"]["precision"] == spelling
