@@ -38,7 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Precision, WriteConfig
@@ -172,7 +172,7 @@ def _embed_staged_jit(images, marks, mesh, config):
         per_device, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(STAGE_AXIS),
-        check_rep=False,
+        check_vma=False,
     )(images, marks)
 
 

@@ -17,6 +17,11 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# The distributed runtime works in this harness: multihost tests must FAIL,
+# not skip, if it regresses (tests/test_multihost.py guard). Set the variable
+# to "" to restore skipping in environments without loopback TCP.
+os.environ.setdefault("SSW_REQUIRE_MULTIHOST", "1")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -257,7 +257,7 @@ def test_embed_verified_matches_separate_calls(cat_image, precision):
     atol = 2e-3 if precision is wm.Precision.HIGHEST else 1e-5
     np.testing.assert_allclose(np.asarray(ext_v), ext, atol=atol)
     sim = float(np.asarray(wm.similarity(
-        jnp.asarray(np.asarray(ext_v)[None]), jnp.asarray(mark[None])))[0])
+        jnp.asarray(np.asarray(ext_v)[None]), jnp.asarray(mark[None])))[0, 0])
     assert sim > 25.0, sim
     with pytest.raises(ValueError, match="custom_insert"):
         wm.embed_verified(jnp.asarray(cat_image), jnp.asarray(mark),
