@@ -242,11 +242,6 @@ def _embed_fast(rgb: jax.Array, marks: jax.Array, config: WriteConfig,
         # the watermark signal -- invisible in sim (31.25 vs 31.24 sigma on
         # the cat-image gate) and 2.4x cheaper than the 3-pass form.
         delta = new_values - original
-        if quantize and fused_dct.supported_epilogue(rgb.shape, rgb.dtype, n):
-            # Fused u8 -> u8 epilogue: the delta-IDCT matmul, add, clip and
-            # quantize in one kernel; neither the f32 RGB batch nor the f32
-            # dY plane ever exists in HBM.
-            return fused_dct.embed_epilogue(rgb, delta, idx)
         dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
         if quantize and rgb.dtype == jnp.uint8:
             # Channel-planar integer-domain quantize (60 vs 77 us/img; see
@@ -493,13 +488,10 @@ def embed_verified(
         with jax.named_scope("ssw.inverse"):
             delta = new_values - original
             h, w = rgb.shape[-3], rgb.shape[-2]
-            if quantize and fused_dct.supported_epilogue(rgb.shape, rgb.dtype, n):
-                marked = fused_dct.embed_epilogue(rgb, delta, idx)
-            elif quantize and rgb.dtype == jnp.uint8:
-                dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
+            dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
+            if quantize and rgb.dtype == jnp.uint8:
                 marked = colorspace.add_luma_delta_u8(rgb, dy)
             else:
-                dy = _sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
                 marked = jnp.clip(_to_f32(rgb) + dy[..., None], 0.0, 1.0)
                 if quantize:
                     marked = colorspace.f32_to_u8(marked)

@@ -1,15 +1,13 @@
-"""Fused Pallas kernels for the production pipeline's prologue and epilogue.
+"""Fused Pallas prologue kernel: u8 RGB -> luma -> one DCT-II pass.
 
 Every pipeline (Writer, Reader base) begins with u8 RGB -> luma -> one 1-D
 DCT-II pass (reference: src/algorithm.rs:308-342 runs RGB->YIQ then dct2_2d
 row+col passes per image; src/dct2d.rs:6-7 admits the serial implementation
-is unoptimised), and the Writer ends with u8 RGB + dY -> clip -> quantize ->
-u8 (reference: Writer::result + into_rgb8, src/algorithm.rs:361-379). On TPU
-both ends are bandwidth-bound chains of elementwise stages around one matmul;
-the kernels here fuse each chain so the intermediates (f32 luma plane, f32
-dY plane, f32 RGB output) never exist in HBM.
+is unoptimised). On TPU this is a bandwidth-bound chain of elementwise
+stages around one matmul; the kernel fuses the chain so the f32 luma plane
+never exists in HBM.
 
-Shared techniques:
+Techniques:
 
   * **Integer luma**: colorsys luma is ``(30 R + 59 G + 11 B) / 25500`` over
     u8 inputs. The numerators (<= 25500 < 2^24) are exact in f32; the
@@ -21,22 +19,32 @@ Shared techniques:
     bf16 splits of both the image data and the basis. Measured accuracy is
     *better* than XLA-HIGH on the same pass (the integer luma is exact where
     XLA's f32 luma has already rounded).
-  * **Resident-first contraction tiling**: the plan prefers keeping the
-    whole (K, H) basis resident in VMEM (its block index is then constant,
-    so it is DMA'd once for the entire grid -- batch included -- and needs
-    no second pipeline buffer). Only when residency cannot fit (4K at the
-    3-dot HIGH tier: ~19 MB of hi+lo basis) does the contraction move onto
-    the innermost grid axis with a VMEM scratch accumulator, streaming the
-    basis in (K, TH) panels -- correct everywhere, but it re-streams the
-    basis once per output column tile, so the resident plan is strictly
-    preferred. Portrait images contract W instead of H. The reference
-    handles any W x H serially (src/dct2d.rs:83-98).
+  * **Resident-basis-only tiling**: the whole (K, H) basis stays in VMEM --
+    its block index is constant, so it is DMA'd once for the entire grid
+    (batch included) and needs no second pipeline buffer. Portrait images
+    contract W instead of H. The reference handles any W x H serially
+    (src/dct2d.rs:83-98).
 
-A previous generation of kernels (an even/odd "folded" row pass exploiting
-``C[k, N-1-m] = (-1)^k C[k, m]``, plus a whole-image 2-D kernel in
-ops/dct_pallas.py) was A/B-measured slower in context on v5e (folded:
-194-197 us/img vs dense 137; the 2-D kernel was superseded) and has been
-removed -- see git history for the measurements.
+Honest-A/B history (keep what wins, delete what doesn't; numbers in git
+history and README):
+
+  * The resident prologue wins where it dispatches (4K DEFAULT isolated:
+    kernel 536.5 vs XLA 627.3 us/img on v5e; in-context parity within the
+    measurement noise of the remote-TPU tunnel).
+  * A streamed-contraction variant (basis in (K, TH) panels + VMEM scratch
+    accumulator, for the non-resident 4K HIGH tier) LOST in context
+    (2427 vs 2092 us/img embed, r4) and was deleted -- 4K HIGH runs the XLA
+    pass.
+  * An embed epilogue kernel (sparse delta-IDCT + add + clip + quantize,
+    u8 -> u8) lost twice: the 3x-interleaved-width form 400.3 vs 140.5
+    us/img (r3), and a channel-planar rematch -- one (TH,n)x(n,TW) dot per
+    tile updating all three planes -- still lost in context at 1080p
+    (embed 359.5 vs 286.3 us/img, r4: the planar u8 relayouts on both
+    sides cost more than the dY HBM round trip they avoid). Deleted; the
+    production epilogue is the XLA form (ops/colorspace.add_luma_delta_u8).
+  * Earlier generations (even/odd "folded" row pass, whole-image 2-D
+    kernel) were also A/B-measured slower in context on v5e (folded:
+    194-197 us/img vs dense 137) and removed.
 """
 
 from __future__ import annotations
@@ -61,7 +69,7 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 # jax.clear_caches() -- dispatch happens at trace time.
 _FORCE_INTERPRET = False
 
-# Production dispatch flags; see models/pipeline.py for the call sites and
+# Production dispatch flag; see models/pipeline.py for the call sites and
 # BENCH history for the in-context A/B numbers on v5e.
 #
 # Prologue: ON, but ``supported`` additionally requires a RESIDENT basis and
@@ -69,11 +77,7 @@ _FORCE_INTERPRET = False
 # XLA 627.3 us/img; 1080p HIGH 160.6 vs 154.2 -- at 1080p the XLA pass wins
 # once context fusion is counted, so the kernel only dispatches where the
 # basis stays resident and the XLA operand materialization is 4K-sized).
-# Epilogue: OFF -- the Mosaic-imposed pre-interleaved width factor costs 3x
-# the skinny-matmul flops and loses 400.3 vs 140.5 us/img at 1080p (bit-exact
-# otherwise); kept for the record and for layout experiments.
 ENABLE_PROLOGUE = True
-ENABLE_EPILOGUE = False
 # Contracted dims >= this dispatch to the kernel when the basis is resident;
 # below it the XLA pass wins (see the A/B above).
 _PROLOGUE_MIN_CONTRACT = 2000
@@ -134,21 +138,21 @@ def _split(x, n_dots):
     return hi, lo
 
 
-def _make_pass_kernel(n_dots: int, n_chunks: int, out_dtype, contract_sublane: bool):
-    """Kernel computing one DCT pass with the contraction on grid axis 2.
+def _make_pass_kernel(n_dots: int, out_dtype, contract_sublane: bool):
+    """Kernel computing one full DCT pass per tile (resident basis).
 
-    ``contract_sublane=True``: out(K, TW) += C(K, TH) @ luma(TH, TW)
-    (the row pass, contracting H). ``False``: out(TH, K) += luma(TH, TWc)
-    @ Ct(TWc, K) (the column pass, contracting W -- the portrait case).
+    ``contract_sublane=True``: out(K, TW) = C(K, H) @ luma(H, TW)
+    (the row pass, contracting H). ``False``: out(TH, K) = luma(TH, W)
+    @ Ct(W, K) (the column pass, contracting W -- the portrait case).
+    A streamed-contraction variant with a VMEM scratch accumulator existed
+    for non-resident bases; it lost its only possible production config
+    (4K HIGH) in context and was deleted -- see the module docstring.
     """
-    if contract_sublane:
-        dn = (((1,), (0,)), ((), ()))   # C (K, TH) x y (TH, TW)
-    else:
-        dn = (((1,), (0,)), ((), ()))   # y (TH, TWc) x Ct (TWc, K)
+    dn = (((1,), (0,)), ((), ()))
     dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
                             preferred_element_type=jnp.float32)
 
-    def body(img_ref, c_hi, c_lo, out_ref, acc_ref):
+    def body(img_ref, c_hi, c_lo, out_ref):
         y_hi, y_lo = _split(_luma_f32(img_ref), n_dots)
         if contract_sublane:
             part = dot(c_hi, y_hi)
@@ -158,83 +162,55 @@ def _make_pass_kernel(n_dots: int, n_chunks: int, out_dtype, contract_sublane: b
             part = dot(y_hi, c_hi)
             if n_dots == 3:
                 part = part + dot(y_lo, c_hi) + dot(y_hi, c_lo)
-        if n_chunks == 1:  # resident basis: no accumulation state needed
-            out_ref[0] = part.astype(out_dtype)
-            return
-        ct = pl.program_id(2)
+        out_ref[0] = part.astype(out_dtype)
 
-        @pl.when(ct == 0)
-        def _():
-            acc_ref[:] = part
-
-        @pl.when(ct != 0)
-        def _():
-            acc_ref[:] = acc_ref[:] + part
-
-        @pl.when(ct == n_chunks - 1)
-        def _():
-            out_ref[0] = acc_ref[:].astype(out_dtype)
-
-    if n_dots == 3 and n_chunks == 1:
+    if n_dots == 3:
         def kernel(img_ref, chi_ref, clo_ref, out_ref):
-            body(img_ref, chi_ref[:], clo_ref[:], out_ref, None)
-    elif n_dots == 3:
-        def kernel(img_ref, chi_ref, clo_ref, out_ref, acc_ref):
-            body(img_ref, chi_ref[:], clo_ref[:], out_ref, acc_ref)
-    elif n_chunks == 1:
-        def kernel(img_ref, chi_ref, out_ref):
-            body(img_ref, chi_ref[:], None, out_ref, None)
+            body(img_ref, chi_ref[:], clo_ref[:], out_ref)
     else:
-        def kernel(img_ref, chi_ref, out_ref, acc_ref):
-            body(img_ref, chi_ref[:], None, out_ref, acc_ref)
+        def kernel(img_ref, chi_ref, out_ref):
+            body(img_ref, chi_ref[:], None, out_ref)
     return kernel
 
 
 def _row_pass_plan(h: int, w: int, n_dots: int, out_bytes: int):
-    """(TH, TW, kp, hp, wp) tiling for the H-contraction, or None.
+    """(TW, kp, hp, wp) tiling for the H-contraction, or None.
 
-    TH is the contraction chunk. Full residency (TH = padded H: one chunk,
-    basis DMA'd once, no accumulator) is tried first; streamed panels are
-    the fallback.
+    Resident-only: the whole padded-H basis lives in VMEM for the entire
+    grid. Returns None when it cannot fit (e.g. 4K at the 3-dot HIGH tier,
+    ~19 MB of hi+lo basis) -- those configs run the XLA pass, which beat the
+    deleted streamed-contraction variant in context.
     """
     kp = _pad_up(h, SUBLANE_U8)
+    hp = kp
     wp = _pad_up(w, LANE)
     arrays = 2 if n_dots == 3 else 1  # hi (+ lo)
-    for th in (_pad_up(h, SUBLANE_U8), 512, 256, 128):
-        hp = _pad_up(h, th)
-        n_chunks = hp // th
-        basis = arrays * kp * th * 2 * (1 if n_chunks == 1 else 2)
-        for tw in (512, 384, 256, 128):
-            if wp % tw:
-                continue
-            img = 2 * 3 * th * tw                     # u8, double-buffered
-            acc = 0 if n_chunks == 1 else kp * tw * 4
-            out = 2 * kp * tw * out_bytes
-            if basis + img + acc + out <= _VMEM_BUDGET:
-                return th, tw, kp, hp, wp
+    basis = arrays * kp * hp * 2      # resident: single-buffered
+    for tw in (512, 384, 256, 128):
+        if wp % tw:
+            continue
+        img = 2 * 3 * hp * tw         # u8, double-buffered
+        out = 2 * kp * tw * out_bytes
+        if basis + img + out <= _VMEM_BUDGET:
+            return tw, kp, hp, wp
     return None
 
 
 def _col_pass_plan(h: int, w: int, n_dots: int, out_bytes: int):
-    """(TH, TWc, kp, hp, wp) tiling for the W-contraction (portrait).
-
-    TWc is the contraction chunk; residency first, as in the row plan.
-    """
+    """(TH, kp, hp, wp) tiling for the W-contraction (portrait),
+    resident-only as in the row plan."""
     kp = _pad_up(w, LANE)
+    wp = kp
     hp = _pad_up(h, SUBLANE_U8)
     arrays = 2 if n_dots == 3 else 1
-    for twc in (_pad_up(w, LANE), 512, 256, 128):
-        wpc = _pad_up(w, twc)
-        n_chunks = wpc // twc
-        basis = arrays * twc * kp * 2 * (1 if n_chunks == 1 else 2)
-        for th in (512, 384, 256, 128):
-            if hp % th:
-                continue
-            img = 2 * 3 * th * twc
-            acc = 0 if n_chunks == 1 else th * kp * 4
-            out = 2 * th * kp * out_bytes
-            if basis + img + acc + out <= _VMEM_BUDGET:
-                return th, twc, kp, hp, wpc
+    basis = arrays * wp * kp * 2
+    for th in (512, 384, 256, 128):
+        if hp % th:
+            continue
+        img = 2 * 3 * th * wp
+        out = 2 * th * kp * out_bytes
+        if basis + img + out <= _VMEM_BUDGET:
+            return th, kp, hp, wp
     return None
 
 
@@ -243,9 +219,8 @@ def supported(shape, dtype, precision: Precision,
     """True when the fused prologue kernel can run this configuration.
 
     Requirements: uint8 (B, H, W, 3) input, a non-HIGHEST precision (HIGHEST
-    is the reference-exact f32 path), a tiling that fits VMEM (any practical
-    H x W does, 4K and portrait included -- the contraction is tiled), and a
-    TPU backend (or the test interpret override). ``out_bytes`` matches the
+    is the reference-exact f32 path), a resident-basis tiling that fits VMEM,
+    and a TPU backend (or the test interpret override). ``out_bytes`` matches the
     ``out_dtype`` the caller will request (the pipeline reads bf16).
     """
     if len(shape) != 4 or shape[-1] != 3 or dtype != jnp.uint8:
@@ -259,15 +234,13 @@ def supported(shape, dtype, precision: Precision,
     plan = (_row_pass_plan(h, w, nd, out_bytes) if h <= w
             else _col_pass_plan(h, w, nd, out_bytes))
     if plan is None:
+        # No resident-basis tiling fits VMEM (e.g. 4K HIGH): the XLA pass
+        # runs instead (it beat the deleted streamed-contraction kernel).
         return False
     if _FORCE_INTERPRET:
         return True
-    # Production rule (measured, see module flags): resident basis only,
-    # 4K-class contraction only.
-    # Row plan: (TH, TW, kp, hp, wp), contraction chunk TH; col plan:
-    # (TH, TWc, kp, hp, wpc), contraction chunk TWc.
-    resident = (plan[0] == plan[3]) if h <= w else (plan[1] == plan[4])
-    return (ENABLE_PROLOGUE and _on_tpu() and resident
+    # Production rule (measured, see module flags): 4K-class contraction.
+    return (ENABLE_PROLOGUE and _on_tpu()
             and min(h, w) >= _PROLOGUE_MIN_CONTRACT)
 
 
@@ -289,48 +262,42 @@ def luma_pass(rgb: jax.Array, precision: Precision, *,
     planes = jnp.moveaxis(rgb, -1, 0)  # (3, B, H, W) u8 planar
 
     if h <= w:  # contract H (row pass)
-        th, tw, kp, hp, wp = _row_pass_plan(h, w, nd, out_bytes)
+        tw, kp, hp, wp = _row_pass_plan(h, w, nd, out_bytes)
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
         basis = _basis_hi_lo(h, nd, kp, hp, transpose=False)
         basis_args = tuple(jnp.asarray(m) for m in basis if m is not None)
-        n_chunks = hp // th
-        grid = (b, wp // tw, n_chunks)
-        spec_img = pl.BlockSpec((3, 1, th, tw), lambda i, j, c: (0, i, c, j),
+        grid = (b, wp // tw)
+        spec_img = pl.BlockSpec((3, 1, hp, tw), lambda i, j: (0, i, 0, j),
                                 memory_space=pltpu.VMEM)
-        spec_basis = pl.BlockSpec((kp, th), lambda i, j, c: (0, c),
+        spec_basis = pl.BlockSpec((kp, hp), lambda i, j: (0, 0),
                                   memory_space=pltpu.VMEM)
-        spec_out = pl.BlockSpec((1, kp, tw), lambda i, j, c: (i, 0, j),
+        spec_out = pl.BlockSpec((1, kp, tw), lambda i, j: (i, 0, j),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, kp, wp), out_dtype)
-        acc_shape = (kp, tw)
         flops = nd * 2 * b * h * h * wp
         contract_sublane = True
     else:  # contract W (column pass -- portrait)
-        th, twc, kp, hp, wp = _col_pass_plan(h, w, nd, out_bytes)
+        th, kp, hp, wp = _col_pass_plan(h, w, nd, out_bytes)
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
-        basis = _basis_hi_lo(w, nd, kp, wp, transpose=True)  # (wp, kp)
+        basis = _basis_hi_lo(w, nd, wp, kp, transpose=True)  # (wp, kp)
         basis_args = tuple(jnp.asarray(m) for m in basis if m is not None)
-        n_chunks = wp // twc
-        grid = (b, hp // th, n_chunks)
-        spec_img = pl.BlockSpec((3, 1, th, twc), lambda i, j, c: (0, i, j, c),
+        grid = (b, hp // th)
+        spec_img = pl.BlockSpec((3, 1, th, wp), lambda i, j: (0, i, j, 0),
                                 memory_space=pltpu.VMEM)
-        spec_basis = pl.BlockSpec((twc, kp), lambda i, j, c: (c, 0),
+        spec_basis = pl.BlockSpec((wp, kp), lambda i, j: (0, 0),
                                   memory_space=pltpu.VMEM)
-        spec_out = pl.BlockSpec((1, th, kp), lambda i, j, c: (i, j, 0),
+        spec_out = pl.BlockSpec((1, th, kp), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, hp, kp), out_dtype)
-        acc_shape = (th, kp)
         flops = nd * 2 * b * w * w * hp
         contract_sublane = False
 
     out = pl.pallas_call(
-        _make_pass_kernel(nd, n_chunks, out_dtype, contract_sublane),
+        _make_pass_kernel(nd, out_dtype, contract_sublane),
         out_shape=out_shape,
         grid=grid,
         in_specs=[spec_img] + [spec_basis] * len(basis_args),
         out_specs=spec_out,
-        scratch_shapes=(
-            [] if n_chunks == 1 else [pltpu.VMEM(acc_shape, jnp.float32)]),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=3 * b * hp * wp + out_bytes * b * h * w,
@@ -339,130 +306,3 @@ def luma_pass(rgb: jax.Array, precision: Precision, *,
         interpret=interpret,
     )(planes, *basis_args)
     return out[:, :h, :w]
-
-
-# ---------------------------------------------------------------------------
-# Epilogue: fused sparse-delta IDCT matmul + add + clip + quantize, u8->u8
-# ---------------------------------------------------------------------------
-
-
-def _make_epilogue_kernel():
-    dn = (((1,), (0,)), ((), ()))
-    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32)
-
-    def kernel(rgb_ref, a_ref, b_ref, out_ref):
-        # b is pre-interleaved to (n, 3W) on the host (Mosaic cannot lower
-        # the (TH, TW, 3) -> (TH, 3TW) lane-interleave reshape), so this one
-        # dot directly yields dY in the u8 image's channel-interleaved
-        # layout. 3x the skinny-matmul flops, but the stage stays
-        # bandwidth-bound and needs no in-kernel layout change.
-        dy3 = dot(a_ref[0], b_ref[0])                    # (TH, 3TW) f32
-        # Mosaic has no direct u8 -> f32 cast; hop through int32 (exact).
-        x = rgb_ref[0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-        y = jnp.clip(x + dy3, 0.0, 1.0) * 255.0
-        # f32 -> u8 likewise hops through int32.
-        out_ref[0] = jnp.floor(y + 0.5).astype(jnp.int32).astype(jnp.uint8)
-
-    return kernel
-
-
-def _epilogue_plan(h: int, w: int, n: int):
-    """(TH, TW, hp, np_pad) tiling for the epilogue, or None."""
-    np_pad = _pad_up(n, LANE)
-    for th in (1024, 512, 256, 128):
-        hp = _pad_up(h, th)
-        for tw in (512, 384, 256, 128):
-            if w % tw:
-                continue
-            a = 2 * th * np_pad * 2
-            bw = 2 * np_pad * 3 * tw * 2
-            rgb = 2 * th * 3 * tw
-            out = 2 * th * 3 * tw
-            # In-kernel f32 temporaries (the dot result and the elementwise
-            # chain) live on the scoped-vmem stack, ~2 tiles at once.
-            temps = 2 * th * 3 * tw * 4
-            if a + bw + rgb + out + temps <= _VMEM_BUDGET:
-                return th, tw, hp, np_pad
-    return None
-
-
-def supported_epilogue(shape, dtype, n: int) -> bool:
-    """True when the fused embed epilogue can handle (B, H, W, 3) u8 images
-    with length-``n`` index sets: u8 input, 3W divisible into lane-aligned
-    tiles, VMEM fit."""
-    if len(shape) != 4 or shape[-1] != 3 or dtype != jnp.uint8:
-        return False
-    h, w = shape[-3], shape[-2]
-    if (3 * w) % LANE or h < 8:
-        return False
-    if _epilogue_plan(h, w, n) is None:
-        return False
-    if _FORCE_INTERPRET:
-        return True
-    return ENABLE_EPILOGUE and _on_tpu()
-
-
-def embed_epilogue(rgb: jax.Array, delta: jax.Array, idx: jax.Array,
-                   *, interpret: bool | None = None) -> jax.Array:
-    """u8 images + sparse coefficient delta -> watermarked u8 images, fused.
-
-    Computes ``quantize(clip(u8/255 + IDCT(delta at idx)))`` in one kernel:
-    the (H, n) x (n, W) delta-IDCT matmul runs per tile on the MXU and the
-    u8 output is produced in place, so neither the f32 ``dY`` plane nor the
-    f32 RGB batch ever exists in HBM (they are the two largest intermediates
-    of the XLA embed epilogue). Replaces the reference's full inverse
-    transform + ``into_rgb8`` (src/algorithm.rs:361-379, examples/main.rs:278).
-
-    ``rgb``: (B, H, W, 3) u8; ``delta``: (B, n) f32 coefficient changes;
-    ``idx``: (B, n) int32 flat row-major coefficient indices.
-    """
-    if interpret is None:
-        interpret = not _on_tpu()
-    b, h, w = rgb.shape[0], rgb.shape[1], rgb.shape[2]
-    n = delta.shape[-1]
-    th, tw, hp, np_pad = _epilogue_plan(h, w, n)
-
-    # Factor the sparse delta-IDCT (models/pipeline._sparse_idct_delta):
-    #   dY = (4/(W*H)) * D_h[:, rows] * delta @ D_w[:, cols]^T
-    # a: (B, HP, NP) bf16 carries the delta + global scale; bw: (B, NP, WP).
-    dh = jnp.asarray(dct.dct3_basis(h))
-    dw = jnp.asarray(dct.dct3_basis(w))
-    rows = idx // w
-    cols = idx % w
-    a = jnp.moveaxis(jnp.take(dh, rows, axis=1), 0, 1)       # (B, H, n)
-    a = a * (delta * (4.0 / (w * h)))[..., None, :]
-    bw = jnp.moveaxis(jnp.take(dw, cols, axis=1), 0, 1)      # (B, W, n)
-    bw = jnp.swapaxes(bw, -1, -2)                            # (B, n, W)
-    # Interleave the width factor to the u8 channel layout: b3[:, :, 3j+c]
-    # = bw[:, :, j], so the kernel's dot emits dY already interleaved.
-    bw3 = jnp.broadcast_to(bw[..., None], bw.shape + (3,)).reshape(b, n, 3 * w)
-    a = jnp.pad(a.astype(jnp.bfloat16),
-                ((0, 0), (0, hp - h), (0, np_pad - n)))
-    bw3 = jnp.pad(bw3.astype(jnp.bfloat16), ((0, 0), (0, np_pad - n), (0, 0)))
-
-    rgbv = rgb.reshape(b, h, 3 * w)  # free view: interleaved channels
-
-    out = pl.pallas_call(
-        _make_epilogue_kernel(),
-        out_shape=jax.ShapeDtypeStruct((b, h, 3 * w), jnp.uint8),
-        grid=(b, hp // th, w // tw),
-        in_specs=[
-            pl.BlockSpec((1, th, 3 * tw), lambda i, j, k: (i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, np_pad), lambda i, j, k: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_pad, 3 * tw), lambda i, j, k: (i, 0, k),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, th, 3 * tw), lambda i, j, k: (i, j, k),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * hp * np_pad * 3 * w,
-            bytes_accessed=(2 * 3 * b * h * w
-                            + 2 * b * (hp * np_pad + np_pad * 3 * w)),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(rgbv, a, bw3)
-    return out.reshape(b, h, w, 3)

@@ -1,14 +1,14 @@
-"""Tests for the fused Pallas prologue/epilogue kernels (ops/fused_dct.py).
+"""Tests for the fused Pallas prologue kernel (ops/fused_dct.py).
 
 Runs the kernels in Pallas interpret mode on CPU and checks them against the
 plain XLA formulations (colorspace + dct ops), the VMEM plans, and the full
 pipeline dispatch.
 
 The prologue replaces the reference's serial per-row DCT forward pass
-(reference: src/algorithm.rs:308-342, src/dct2d.rs:83-219); the epilogue
-replaces its full inverse transform + ``into_rgb8`` quantization
-(src/algorithm.rs:361-379, examples/main.rs:278). These tests pin the kernel
-numerics so the on-chip path is covered by the same contract as the XLA path.
+(reference: src/algorithm.rs:308-342, src/dct2d.rs:83-219). These tests pin
+the kernel numerics so the on-chip path is covered by the same contract as
+the XLA path. (The epilogue kernel and the streamed-contraction branch were
+deleted after losing their in-context A/Bs -- see ops/fused_dct.py docstring.)
 """
 
 import jax
@@ -74,18 +74,18 @@ def test_luma_pass_bf16_out():
 
 
 def test_plans_production_shapes():
-    # 1080p: resident basis at both tiers (TH == padded H -> one chunk).
+    # 1080p: resident basis at both tiers.
     for nd in (1, 3):
         plan = fused_dct._row_pass_plan(1080, 1920, nd, 2)
         assert plan is not None
-        th, tw, kp, hp, wp = plan
-        assert th == hp, (nd, plan)  # resident
-    # 4K DEFAULT: resident; 4K HIGH: falls back to streamed panels but is
-    # still eligible (the round-2 kernels were not).
-    plan = fused_dct._row_pass_plan(2160, 3840, 1, 2)
-    assert plan is not None and plan[0] == plan[3]
-    plan = fused_dct._row_pass_plan(2160, 3840, 3, 2)
-    assert plan is not None and plan[0] < plan[3]
+        tw, kp, hp, wp = plan
+        assert kp == hp == 1088, (nd, plan)
+    # 4K DEFAULT: resident; 4K HIGH: no resident tiling fits (hi+lo basis
+    # ~19 MB), so the plan is None and the XLA pass runs -- the streamed
+    # variant that used to cover this config lost its in-context A/B
+    # (2427 vs 2092 us/img) and was deleted.
+    assert fused_dct._row_pass_plan(2160, 3840, 1, 2) is not None
+    assert fused_dct._row_pass_plan(2160, 3840, 3, 2) is None
     # portrait 4K
     assert fused_dct._col_pass_plan(3840, 2160, 1, 2) is not None
 
@@ -95,56 +95,14 @@ def test_supported_gates():
     fused_dct._FORCE_INTERPRET = True
     try:
         assert fused_dct.supported((1, 1080, 1920, 3), u8, Precision.HIGH)
-        assert fused_dct.supported((1, 2160, 3840, 3), u8, Precision.HIGH)
+        # 4K HIGH: hi+lo basis cannot stay resident -> XLA pass (the
+        # streamed kernel variant lost its A/B and was deleted).
+        assert not fused_dct.supported((1, 2160, 3840, 3), u8, Precision.HIGH)
+        assert fused_dct.supported((1, 2160, 3840, 3), u8, Precision.DEFAULT)
         assert fused_dct.supported((1, 1920, 1080, 3), u8, Precision.DEFAULT)
         assert not fused_dct.supported((1, 64, 128, 3), f32, Precision.HIGH)
         assert not fused_dct.supported((1, 64, 128, 3), u8, Precision.HIGHEST)
         assert not fused_dct.supported((1, 16, 128, 3), u8, Precision.HIGH)
-    finally:
-        fused_dct._FORCE_INTERPRET = False
-
-
-# ---------------------------------------------------------------------------
-# Epilogue
-# ---------------------------------------------------------------------------
-
-
-def _xla_epilogue(rgb, delta, idx, h, w):
-    dy = pipeline._sparse_idct_delta(delta, idx, h, w, Precision.DEFAULT)
-    out = jnp.clip(rgb.astype(jnp.float32) / 255.0 + dy[..., None], 0.0, 1.0)
-    return colorspace.f32_to_u8(out)
-
-
-@pytest.mark.parametrize("h,w", [(64, 128), (111, 128), (444, 640)])
-def test_embed_epilogue_matches_xla(h, w):
-    b, n = 2, 100
-    rgb = _rand_rgb(b, h, w, seed=7)
-    rng = np.random.default_rng(11)
-    # distinct indices per image, alpha-scale deltas on O(100) coefficients
-    idx = jnp.asarray(np.stack([
-        rng.choice(h * w, n, replace=False) for _ in range(b)
-    ]).astype(np.int32))
-    delta = jnp.asarray(rng.normal(scale=20.0, size=(b, n)).astype(np.float32))
-    got = fused_dct.embed_epilogue(rgb, delta, idx, interpret=True)
-    ref = _xla_epilogue(rgb, delta, idx, h, w)
-    assert got.shape == ref.shape and got.dtype == jnp.uint8
-    diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
-    # both sides run the delta-IDCT as a single bf16 dot; the only divergence
-    # is where the scale multiply is applied, which can flip a quantization
-    # boundary on a small fraction of pixels by one step.
-    assert diff.max() <= 1
-    assert (diff != 0).mean() < 0.02
-
-
-def test_supported_epilogue_gates():
-    u8, f32 = jnp.uint8, jnp.float32
-    fused_dct._FORCE_INTERPRET = True
-    try:
-        assert fused_dct.supported_epilogue((4, 1080, 1920, 3), u8, 1000)
-        assert fused_dct.supported_epilogue((4, 2160, 3840, 3), u8, 1000)
-        assert fused_dct.supported_epilogue((1, 444, 640, 3), u8, 1000)
-        assert not fused_dct.supported_epilogue((1, 444, 641, 3), u8, 1000)
-        assert not fused_dct.supported_epilogue((1, 444, 640, 3), f32, 1000)
     finally:
         fused_dct._FORCE_INTERPRET = False
 
@@ -171,7 +129,6 @@ def test_pipeline_fused_dispatch_roundtrip(cat_image):
     jax.clear_caches()
     try:
         assert fused_dct.supported(rgb.shape, rgb.dtype, Precision.HIGH)
-        assert fused_dct.supported_epilogue(rgb.shape, rgb.dtype, 1000)
         marked = pipeline.embed(rgb, mark, wcfg)
         ext = pipeline.extract(rgb, marked, 1000, rcfg)
         sim = float(pipeline.similarity(ext[0], mark[None])[0])
