@@ -22,7 +22,16 @@ setup(
             sources=[os.path.join(here, "ssw_native.cpp")],
             extra_compile_args=["-O3", "-std=c++17", "-Wall"],
             language="c++",
-        )
+        ),
+        # Separate module so environments without libjpeg/libpng dev files
+        # can still build the RNG/quantization extension above.
+        Extension(
+            "spread_spectrum_watermarking_tpu.utils._codec_impl",
+            sources=[os.path.join(here, "ssw_codec.cpp")],
+            libraries=["jpeg", "png"],
+            extra_compile_args=["-O3", "-std=c++17", "-Wall"],
+            language="c++",
+        ),
     ],
     script_args=os.sys.argv[1:] or ["build_ext", "--build-lib", "."],
 )

@@ -1,9 +1,12 @@
 """Host-side image decode/encode (the reference's ``image`` crate layer).
 
 The reference leans on the Rust ``image`` crate for JPEG/PNG codecs and the
-u8<->f32 conversions (reference: Cargo.toml:9, SURVEY.md layer 0). Here PIL
-(native libjpeg/zlib under the hood) plays that role; quantization semantics
-live in :mod:`..ops.colorspace` so device and host paths agree exactly.
+u8<->f32 conversions (reference: Cargo.toml:9, SURVEY.md layer 0). Here the
+C++ codec module (native/ssw_codec.cpp: libjpeg + libpng, GIL released
+during codec work, PIL-parity pixels) plays that role when built, with PIL
+as the always-available fallback and the decoder for any other format;
+quantization semantics live in :mod:`..ops.colorspace` so device and host
+paths agree exactly.
 """
 
 from __future__ import annotations
@@ -16,8 +19,26 @@ import numpy as np
 from ..ops import colorspace
 
 
+try:
+    from . import _codec  # C++ libjpeg/libpng codec; optional
+except ImportError:  # pragma: no cover - build-dependent
+    _codec = None
+
+
 def load_rgb_u8(path: str | os.PathLike) -> np.ndarray:
-    """Decode an image file to (H, W, 3) uint8 RGB."""
+    """Decode an image file to (H, W, 3) uint8 RGB.
+
+    Dispatches to the native codec (byte-identical pixels to the PIL path,
+    tests/test_native.py) and falls back to PIL for formats it does not
+    handle or when the extension is not built.
+    """
+    if _codec is not None:
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            return _codec.decode_rgb_u8(data)
+        except ValueError:
+            pass  # not JPEG/PNG (or an exotic variant): PIL handles it
     from PIL import Image
 
     with Image.open(path) as im:
@@ -35,11 +56,15 @@ def save_rgb(path: str | os.PathLike, rgb: np.ndarray) -> None:
     float32 input is quantized with the reference's ``into_rgb8`` rounding
     (clamp, *255, round-half-away-from-zero; examples/main.rs:278).
     """
-    from PIL import Image
-
     arr = np.asarray(rgb)
     if arr.dtype != np.uint8:
         arr = colorspace.np_f32_to_u8(arr.astype(np.float32))
+    if _codec is not None and str(path).lower().endswith(".png"):
+        with open(path, "wb") as f:
+            f.write(_codec.encode_png(arr))
+        return
+    from PIL import Image
+
     Image.fromarray(arr, mode="RGB").save(path)
 
 

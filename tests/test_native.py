@@ -83,3 +83,95 @@ def test_vendored_binary_matches_fresh_build(tmp_path):
                 == vendored.chacha8_u64s_bytes(seed, 64))
     arr = np.linspace(-0.25, 1.25, 4096, dtype=np.float32).tobytes()
     assert fresh.quantize_u8_bytes(arr) == vendored.quantize_u8_bytes(arr)
+
+
+# ---------------------------------------------------------------------------
+# Codec module (native/ssw_codec.cpp: libjpeg + libpng)
+# ---------------------------------------------------------------------------
+
+codec = pytest.importorskip(
+    "spread_spectrum_watermarking_tpu.utils._codec",
+    reason="native codec extension not built")
+
+
+def test_native_decode_is_pil_identical():
+    # Decode must be byte-identical to the PIL path on the repo's reference
+    # assets (same libjpeg, JDCT_ISLOW; PNG alpha-strip like convert("RGB")):
+    # the framework's numerics contract starts at decoded pixels
+    # (reference: image crate decode, SURVEY.md layer 0), so the two hosts
+    # paths may not disagree by even one code.
+    from PIL import Image
+
+    for path in ("/root/reference/tests/porcelain_cat_grey_background.jpg",
+                 "/root/reference/tests/watermarked_with_1.png"):
+        with open(path, "rb") as f:
+            ours = codec.decode_rgb_u8(f.read())
+        pil = np.asarray(Image.open(path).convert("RGB"))
+        np.testing.assert_array_equal(ours, pil)
+
+
+def test_native_png_encode_lossless_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (37, 61, 3), dtype=np.uint8)
+    png = codec.encode_png(arr)
+    import io
+
+    from PIL import Image
+
+    back = np.asarray(Image.open(io.BytesIO(png)).convert("RGB"))
+    np.testing.assert_array_equal(back, arr)
+    # and through the image_io save/load path (native encode + native decode)
+    from spread_spectrum_watermarking_tpu.utils import image_io
+
+    p = tmp_path / "x.png"
+    image_io.save_rgb(p, arr)
+    np.testing.assert_array_equal(image_io.load_rgb_u8(p), arr)
+
+
+def test_native_decode_rejects_unknown_and_falls_back():
+    with pytest.raises(ValueError):
+        codec.decode_rgb_u8(b"not an image at all")
+    # image_io falls back to PIL for formats the codec rejects (BMP here).
+    import io
+
+    from PIL import Image
+
+    from spread_spectrum_watermarking_tpu.utils import image_io
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.bmp")
+        Image.fromarray(arr, mode="RGB").save(p)
+        np.testing.assert_array_equal(image_io.load_rgb_u8(p), arr)
+
+
+def test_vendored_codec_matches_fresh_build(tmp_path):
+    """Same reproducibility requirement as the RNG module: the vendored
+    codec .so must match a fresh build of native/ssw_codec.cpp."""
+    import glob
+    import importlib.util
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [sys.executable, str(root / "native" / "setup.py"),
+         "build_ext", "--build-lib", str(tmp_path)],
+        capture_output=True, text=True, cwd=root)
+    if r.returncode != 0:
+        pytest.skip(f"no working C++ toolchain: {r.stderr[-500:]}")
+    built = glob.glob(str(
+        tmp_path / "spread_spectrum_watermarking_tpu" / "utils" / "_codec_impl*.so"))
+    assert built, "build produced no codec extension"
+    spec = importlib.util.spec_from_file_location("_codec_impl", built[0])
+    fresh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fresh)
+    from spread_spectrum_watermarking_tpu.utils import _codec_impl as vendored
+
+    with open("/root/reference/tests/porcelain_cat_grey_background.jpg", "rb") as f:
+        data = f.read()
+    assert fresh.decode_rgb_bytes(data) == vendored.decode_rgb_bytes(data)
+    rgb, h, w = vendored.decode_rgb_bytes(data)
+    assert fresh.encode_png_bytes(rgb, h, w) == vendored.encode_png_bytes(rgb, h, w)
