@@ -72,6 +72,17 @@ class Writer:
             jnp.asarray(self.coefficients()), n, self._config.ordering,
             custom_metric=self._config.custom_ordering))
 
+    def update_indices(self, ordering, custom_metric=None) -> None:
+        """Re-rank with a different ordering (reference ``Writer::update_indices``,
+        src/algorithm.rs:324-327): subsequent :meth:`indices`/:meth:`mark`
+        calls use the new ordering against the same image. ``custom_metric``
+        plays the role of the reference's ``OrderingMethod::Custom`` closure
+        (src/algorithm.rs:150-151)."""
+        import dataclasses
+
+        self._config = dataclasses.replace(
+            self._config, ordering=ordering, custom_ordering=custom_metric)
+
     def mark(self, marks, quantize: bool = True) -> np.ndarray:
         """Embed mark(s) and return the watermarked image.
 

@@ -350,3 +350,19 @@ def test_rank_version_1_roundtrip_and_divergence(cat_image):
     # 324/1000 positional agreement on this image).
     assert not np.array_equal(i1, i2)
     assert len(set(i1.tolist()) & set(i2.tolist())) > 0.97 * N
+
+
+@pytest.mark.parametrize("precision",
+                         [wm.Precision.HIGHEST, wm.Precision.DEFAULT])
+def test_writer_update_indices(cat_image, precision):
+    # Reference Writer::update_indices (src/algorithm.rs:324-327): swap the
+    # ordering on an existing Writer; ranking and marking then follow the
+    # new ordering exactly as a fresh Writer's would.
+    w1 = wm.Writer(cat_image, wm.WriteConfig(precision=precision))
+    idx_energy = w1.indices(200)
+    w1.update_indices(wm.Ordering.LEGACY)
+    idx_legacy = w1.indices(200)
+    fresh = wm.Writer(cat_image, wm.WriteConfig(
+        precision=precision, ordering=wm.Ordering.LEGACY))
+    np.testing.assert_array_equal(idx_legacy, fresh.indices(200))
+    assert not np.array_equal(idx_energy, idx_legacy)
