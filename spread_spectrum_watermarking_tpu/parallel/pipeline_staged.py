@@ -77,7 +77,8 @@ def _stage1(t, marks, config: WriteConfig, h: int, w: int):
     """
     ax = pipeline._shorter_axis(h, w)
     idx, original = pipeline._rank_from_half(
-        t, marks.shape[-1], config.ordering, config.custom_ordering, ax)
+        t, marks.shape[-1], config.ordering, config.custom_ordering, ax,
+        config.rank_version)
     if marks.ndim == 2:
         marks = jnp.broadcast_to(marks[None],
                                  (original.shape[0],) + marks.shape)
