@@ -27,6 +27,7 @@ Public surface:
 
 from .api import Reader, ReaderDerived, Similarity, Tester, Writer
 from .config import (
+    RANK_VERSION,
     InsertExtract,
     Method,
     Ordering,
@@ -44,6 +45,7 @@ from .models.pipeline import (
     prepare_base,
     prepare_derived,
     rank_base,
+    rank_plane,
     similarity,
 )
 
@@ -55,6 +57,6 @@ __all__ = [
     "Precision",
     "embed", "embed_verified", "extract", "similarity",
     "prepare_base", "prepare_derived", "extract_prepared",
-    "rank_base", "extract_ranked",
+    "rank_base", "extract_ranked", "rank_plane", "RANK_VERSION",
     "generate_normal", "as_marks",
 ]
