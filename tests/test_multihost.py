@@ -211,7 +211,24 @@ ext_single = np.asarray(wm.extract(jnp.asarray(crops), jnp.asarray(marked), n))
 agree = np.abs(ext_g - ext_single) < 5e-2
 assert agree.mean() > 0.99, agree.mean()
 
-print(f"MULTIHOST-CORPUS-OK pid={pid} own={own.min():.2f}")
+# --- TP across the process boundary: a (1, 8) mesh puts one image's rows
+# on all 8 devices of BOTH processes, so the sharded DCT's all-to-all and
+# the distributed top-k's psums ride DCN. Must agree with the single-device
+# pipeline to quantization-boundary tolerance.
+tp_mesh = mesh_lib.make_mesh((1, 8))
+img = cat[:256, :320]
+tp_mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(13), n))
+marked_tp = pipeline_sharded.embed_spatial(img, jnp.asarray(tp_mark), tp_mesh)
+marked_tp = np.asarray(multihost_utils.process_allgather(marked_tp, tiled=True))
+want_tp = np.asarray(wm.embed(jnp.asarray(img), jnp.asarray(tp_mark)))
+dtp = np.abs(want_tp.astype(int) - marked_tp.astype(int))
+assert dtp.max() <= 1 and (dtp > 0).mean() < 0.10, (dtp.max(), (dtp > 0).mean())
+ext_tp = pipeline_sharded.extract_spatial(img, marked_tp, n, tp_mesh)
+ext_tp = np.asarray(multihost_utils.process_allgather(ext_tp, tiled=True)).reshape(-1)
+sim_tp = float(ext_tp @ tp_mark / np.sqrt(ext_tp @ ext_tp))
+assert sim_tp > 15.0, sim_tp
+
+print(f"MULTIHOST-CORPUS-OK pid={pid} own={own.min():.2f} tp={sim_tp:.2f}")
 """
 
 

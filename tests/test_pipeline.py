@@ -391,3 +391,23 @@ def test_geometry_coverage(cat_image, geometry, precision):
                                 800, rcfg))
     sim = float(ext @ mark / np.sqrt(ext @ ext))
     assert sim > 25.0, (geometry, precision, sim)
+
+
+@pytest.mark.parametrize("precision",
+                         [wm.Precision.HIGHEST, wm.Precision.DEFAULT])
+def test_partial_length_extraction(cat_image, precision):
+    # The reference permits extracting FEWER coefficients than were embedded
+    # (extract_watermark only checks extracted.len() < base count,
+    # src/algorithm.rs:550-561): the first m ranks pair with mark[:m]
+    # because write and read derive the same rank order. Expected sim scales
+    # like sqrt(m/n) of the full-length statistic (~31 -> ~22 at m=n/2).
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(41), N))
+    wcfg = wm.WriteConfig(precision=precision)
+    rcfg = wm.ReadConfig(precision=precision)
+    marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark), wcfg))
+    for m in (500, 100):
+        ext = np.asarray(wm.extract(jnp.asarray(cat_image),
+                                    jnp.asarray(marked), m, rcfg))
+        sim = float(ext @ mark[:m] / np.sqrt(ext @ ext))
+        # sqrt(m/N) scaling with generous slack for the short-sum variance.
+        assert sim > 0.6 * 31.0 * (m / N) ** 0.5, (m, sim)
