@@ -86,8 +86,48 @@ bool decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* rgb,
 // convert("RGB") (no compositing), so pixels match the PIL path exactly.
 // ----------------------------------------------------------------------------
 
+// Parity guard: libpng's simplified read API silently applies sRGB gamma
+// conversion (gAMA/iCCP-chunked files) and 16-to-8 scaling (16-bit files),
+// which PIL's convert("RGB") does not -- such files would decode to
+// non-PIL-identical pixels instead of hitting the byte-parity contract
+// image_io relies on. Scan the IHDR bit depth and the pre-IDAT chunk types
+// and refuse those files here so load_rgb_u8 falls back to PIL.
+bool png_is_plain_8bit(const uint8_t* buf, size_t len, char* msg) {
+  // IHDR is the first chunk: length @8, type "IHDR" @12, data @16,
+  // bit depth at data+8 = byte 24.
+  if (len < 33 || std::memcmp(buf + 12, "IHDR", 4) != 0) {
+    std::snprintf(msg, JMSG_LENGTH_MAX, "malformed PNG header");
+    return false;
+  }
+  if (buf[24] != 8) {
+    std::snprintf(msg, JMSG_LENGTH_MAX,
+                  "%d-bit PNG (PIL-parity path handles 8-bit only)", buf[24]);
+    return false;
+  }
+  // Color chunks must precede IDAT (PNG spec 5.6), so scanning to IDAT sees
+  // every gAMA/iCCP the file can carry.
+  size_t off = 8;
+  while (off + 8 <= len) {
+    uint32_t chunk_len = ((uint32_t)buf[off] << 24) |
+                         ((uint32_t)buf[off + 1] << 16) |
+                         ((uint32_t)buf[off + 2] << 8) | buf[off + 3];
+    const uint8_t* type = buf + off + 4;
+    if (std::memcmp(type, "IDAT", 4) == 0) break;
+    if (std::memcmp(type, "gAMA", 4) == 0 ||
+        std::memcmp(type, "iCCP", 4) == 0) {
+      std::snprintf(msg, JMSG_LENGTH_MAX,
+                    "PNG carries a %.4s chunk (libpng would gamma-convert; "
+                    "PIL does not)", (const char*)type);
+      return false;
+    }
+    off += 12 + (size_t)chunk_len;  // len + type + data + crc
+  }
+  return true;
+}
+
 bool decode_png(const uint8_t* buf, size_t len, std::vector<uint8_t>* rgb,
                 unsigned* h, unsigned* w, char* msg) {
+  if (!png_is_plain_8bit(buf, len, msg)) return false;
   png_image image;
   std::memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;

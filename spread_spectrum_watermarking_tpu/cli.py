@@ -69,6 +69,14 @@ def _add_precision_arg(p: argparse.ArgumentParser,
                             "the tier recorded in each watermark file "
                             "('highest' for files without one, including "
                             "all reference-written files).")
+        p.add_argument("--rank-version", type=int, choices=(1, 2), default=None,
+                       help="Override the fast-tier ranking generation instead "
+                            "of the one the file's precision spelling implies "
+                            "('Default'/'High' = 1, 'Default2'/'High2' = 2). "
+                            "Needed for fast-tier marks written by the "
+                            "unversioned gather-free builds, which rank at "
+                            "generation 2 but carry the unsuffixed spelling: "
+                            "read those with --rank-version 2.")
         return
     p.add_argument("--precision", choices=_PRECISION_CHOICES, default="highest",
                    help="Transform precision tier: 'highest' is the "
@@ -174,13 +182,15 @@ def cmd_test(args) -> int:
             prec = _PRECISION_CHOICES[args.precision]
         else:
             prec = st.precision or Precision.HIGHEST
+        rank_version = (args.rank_version if args.rank_version is not None
+                        else st.rank_version)
         for mark in st.watermarks:
-            key = (cfg, prec, st.rank_version, len(mark.values))
+            key = (cfg, prec, rank_version, len(mark.values))
             if key not in retrieved:
                 rcfg = ReadConfig(extraction=cfg.insert_extract,
                                   ordering=cfg.ordering,
                                   precision=prec,
-                                  rank_version=st.rank_version)
+                                  rank_version=rank_version)
                 retrieved[key] = np.asarray(extract(
                     jnp.asarray(base), jnp.asarray(watermarked),
                     len(mark.values), rcfg))

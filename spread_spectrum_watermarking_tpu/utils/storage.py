@@ -66,6 +66,33 @@ _JSON_TO_PRECISION = {
     "Default2": (Precision.DEFAULT, 2),
 }
 
+# MIGRATION NOTE (unversioned gather-free window): builds between the
+# gather-free generation-2 ranking landing and the versioned spellings
+# landing (repo commits 5df7152..7f3be14) ranked at generation 2 but still
+# wrote the unsuffixed "Default"/"High" spellings. Files from that window
+# read back here as generation 1 (the only safe default -- every release
+# before the window is generation 1) and will extract with the wrong rank
+# order; re-read them with the explicit override ``ssw-tpu test
+# --rank-version 2`` (which bypasses this table's generation mapping).
+
+
+def _lookup_spelling(table: dict, value, what: str):
+    """Map a stored serde spelling, failing loudly on unknown ones.
+
+    A file written by a future tool generation (the forward-compat scenario
+    the ops/ranking.py COMPATIBILITY CONTRACT contemplates, e.g. a
+    hypothetical "Default3") must name the offending spelling and the
+    supported set -- like the reference's serde error
+    (reference: examples/main.rs:363-365) -- not die with a KeyError.
+    """
+    try:
+        return table[value]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"unknown {what} {value!r} in watermark storage; supported "
+            f"spellings: {sorted(table)}. The file may have been written by "
+            f"a newer tool generation.") from None
+
 
 @dataclasses.dataclass(frozen=True)
 class Configuration:
@@ -138,9 +165,12 @@ class WatermarkStorage:
         config = Configuration(
             insert_extract=InsertExtract(
                 alpha=float(cfg["insert_extract"]["alpha"]),
-                method=_JSON_TO_METHOD[cfg["insert_extract"]["method"]],
+                method=_lookup_spelling(_JSON_TO_METHOD,
+                                        cfg["insert_extract"]["method"],
+                                        "insert/extract method"),
             ),
-            ordering=_JSON_TO_ORDERING[cfg["ordering"]],
+            ordering=_lookup_spelling(_JSON_TO_ORDERING, cfg["ordering"],
+                                      "ordering"),
         )
         watermarks = [
             DescribedWatermark(values=wm["values"],
@@ -148,7 +178,8 @@ class WatermarkStorage:
             for wm in v1["watermarks"]
         ]
         if "precision" in v1:
-            precision, rank_version = _JSON_TO_PRECISION[v1["precision"]]
+            precision, rank_version = _lookup_spelling(
+                _JSON_TO_PRECISION, v1["precision"], "precision tier")
         else:
             precision, rank_version = None, RANK_VERSION
         return WatermarkStorage(config=config, watermarks=watermarks,

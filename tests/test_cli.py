@@ -202,6 +202,44 @@ def test_precision_flag_roundtrip(workdir, capsys):
     assert "Matches: true" in out
 
 
+def test_rank_version_override_reads_unversioned_gen2_files(workdir, capsys):
+    # Builds in the unversioned gather-free window (5df7152..7f3be14) ranked
+    # at generation 2 but wrote the unsuffixed "Default" spelling, which now
+    # maps to generation 1 (utils/storage.py MIGRATION NOTE). `test
+    # --rank-version 2` must recover such marks with the exact similarity the
+    # correctly-spelled file produces (ADVICE r4 medium item).
+    rc = cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "21",
+                   "--precision", "default"])
+    assert rc == 0
+    capsys.readouterr()
+
+    def tested_sim(*extra):
+        jl = workdir / "sim.jsonl"
+        jl.unlink(missing_ok=True)
+        rc = cli.main(["test", str(workdir / "cat.jpg"),
+                       str(workdir / "cat_wm.png"),
+                       str(workdir / "cat_wm.json"),
+                       "--jsonl", str(jl), *extra])
+        assert rc == 0
+        capsys.readouterr()
+        return json.loads(jl.read_text())["similarity"]
+
+    sim_true = tested_sim()  # correctly-spelled "Default2" file
+    assert sim_true > 6.0
+
+    # Simulate the affected window: same mark, unsuffixed spelling.
+    obj = json.loads((workdir / "cat_wm.json").read_text())
+    assert obj["Version1"]["precision"] == "Default2"
+    obj["Version1"]["precision"] = "Default"
+    (workdir / "cat_wm.json").write_text(json.dumps(obj))
+
+    # The override must reproduce the true generation-2 extraction exactly;
+    # the un-overridden read runs generation-1 ranking and must differ (the
+    # generations agree on only ~1/3 of rank positions).
+    assert tested_sim("--rank-version", "2") == sim_true
+    assert tested_sim() != sim_true
+
+
 def test_stored_precision_selects_extraction_tier(workdir, capsys):
     # Fast-tier rank order is deterministic per tier but not across tiers,
     # so the embedding tier is recorded in the watermark json and `test`

@@ -146,6 +146,53 @@ def test_native_decode_rejects_unknown_and_falls_back():
         np.testing.assert_array_equal(image_io.load_rgb_u8(p), arr)
 
 
+def test_native_png_guard_16bit_and_gamma_fall_back_to_pil(tmp_path):
+    # libpng's simplified API would happily decode 16-bit and gAMA/iCCP PNGs
+    # -- but with 16-to-8 scaling / gamma conversion PIL does not apply,
+    # silently breaking the byte-parity contract. The codec must REJECT such
+    # files (ValueError) so image_io.load_rgb_u8 falls back to PIL
+    # (ADVICE r4 low item).
+    import io
+
+    from PIL import Image
+
+    from spread_spectrum_watermarking_tpu.utils import image_io
+
+    # 16-bit grayscale PNG.
+    deep = (np.arange(32 * 32, dtype=np.uint16).reshape(32, 32) * 17) % 65535
+    buf = io.BytesIO()
+    Image.fromarray(deep).save(buf, format="PNG")  # mode I;16 inferred
+    with pytest.raises(ValueError, match="16-bit"):
+        codec.decode_rgb_u8(buf.getvalue())
+
+    # 8-bit RGB PNG with a decidedly non-sRGB gAMA chunk (spliced in after
+    # IHDR with a valid CRC -- PIL ignores gAMA on read, libpng would not).
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="RGB").save(buf, format="PNG")
+    plain_png = buf.getvalue()
+    gama_body = b"gAMA" + struct.pack(">I", 25000)  # gamma 0.25
+    gama = (struct.pack(">I", 4) + gama_body
+            + struct.pack(">I", zlib.crc32(gama_body)))
+    ihdr_end = 8 + 4 + 4 + 13 + 4  # sig + len + "IHDR" + data + crc
+    data = plain_png[:ihdr_end] + gama + plain_png[ihdr_end:]
+    p = tmp_path / "gamma.png"
+    p.write_bytes(data)
+    assert b"gAMA" in data
+    with pytest.raises(ValueError, match="gAMA"):
+        codec.decode_rgb_u8(data)
+    # The public loader still reads both, PIL-identically.
+    np.testing.assert_array_equal(
+        image_io.load_rgb_u8(p), np.asarray(Image.open(p).convert("RGB")))
+    # ...and a plain 8-bit PNG still takes the native path untouched.
+    plain = codec.encode_png(arr)
+    np.testing.assert_array_equal(codec.decode_rgb_u8(plain), arr)
+
+
 def test_vendored_codec_matches_fresh_build(tmp_path):
     """Same reproducibility requirement as the RNG module: the vendored
     codec .so must match a fresh build of native/ssw_codec.cpp."""
