@@ -151,6 +151,28 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
     return results
 
 
+def run_latency_bench(size: str = "1080p", length: int = 1000,
+                      precision: str = "default", iters: int = 64) -> dict:
+    """Single-image (batch-1) latency, device-side.
+
+    The throughput configs batch 48 because small batches leave the chip
+    mostly idle; this config records what a latency-sensitive single-stream
+    user actually gets per image. Device-side scan timing (run_bench
+    methodology at batch 1) -- the client-observed number additionally pays
+    one host->device->host round trip, which in this environment is the
+    remote-TPU RPC tunnel, not the chip.
+    """
+    res = run_bench(batch=1, size=size, length=length, iters=iters,
+                    precision=precision, quiet=True)
+    return {
+        "size": res["size"], "length": length, "precision": res["precision"],
+        "embed_latency_ms": res["embed_ms_per_image"],
+        "extract_latency_ms": res["extract_ms_per_image"],
+        "single_stream_embed_per_sec": res["embed_images_per_sec"],
+        "device": res["device"],
+    }
+
+
 def run_cached_extract_bench(batch: int = 32, size: str = "1080p",
                              length: int = 1000, iters: int = 64,
                              precision: str = "default") -> dict:

@@ -340,12 +340,18 @@ def cmd_bench(args) -> int:
     import json as _json
 
     from .bench import (run_bench, run_cached_extract_bench, run_corpus_bench,
-                        run_corpus_sharded_bench, run_similarity_sweep_bench,
-                        run_verified_bench)
+                        run_corpus_sharded_bench, run_latency_bench,
+                        run_similarity_sweep_bench, run_verified_bench)
 
     if args.config == "throughput":
         run_bench(batch=args.batch, size=args.size, length=args.length,
                   iters=args.iters, profile_dir=args.profile_dir)
+    elif args.config == "latency":
+        # Batch-1 single-stream latency (device-side).
+        res = run_latency_bench(size=args.size, length=args.length,
+                                iters=args.iters)
+        print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in res.items()}))
     elif args.config == "extract-cached":
         # Reader-cached detection service: fixed originals, streamed derived.
         res = run_cached_extract_bench(batch=args.batch, size=args.size,
@@ -431,7 +437,7 @@ def main(argv=None) -> int:
     p_bench.add_argument("--profile-dir", default=None,
                          help="Write a jax.profiler trace here (TensorBoard).")
     p_bench.add_argument("--config", default="throughput",
-                         choices=["throughput", "extract-cached",
+                         choices=["throughput", "latency", "extract-cached",
                                   "embed-verified", "corpus",
                                   "corpus-sharded", "sweep"],
                          help="throughput: steady-state embed/extract; "

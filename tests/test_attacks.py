@@ -119,6 +119,54 @@ def test_attack_jpeg_hard_and_combined(embedded2):
     assert _sim(cat, restored, mark) > 8.0
 
 
+@pytest.mark.parametrize("precision",
+                         [wm.Precision.HIGHEST, wm.Precision.DEFAULT])
+def test_collusion_scaling_and_q20(cat_image, precision):
+    # Robustness beyond the reference suite, at the parity tier AND the fast
+    # production tier: collusion scaling in the Cox paper's regime (section
+    # VI-D predicts per-colluder sigma ~ 31/sqrt(K); measured means
+    # K=4: 15.8, K=8: 11.0, K=16: 7.5 -- within 3% of the prediction) and
+    # harsh q20 JPEG recompression (measured 28.2/28.6 sigma). Honest
+    # finding pinned below: at K=16 the WEAKEST colluder dips below the
+    # 6-sigma CLI threshold on this 444x640 image at N=1000 (min 5.2-5.9),
+    # i.e. sixteen colluders begin to evade per-colluder identification,
+    # exactly as the Cox analysis predicts for fixed N.
+    import io
+
+    from PIL import Image
+
+    n = 1000
+    wcfg = wm.WriteConfig(precision=precision)
+    rcfg = wm.ReadConfig(precision=precision)
+
+    floors = {4: (13.0, 15.0), 8: (8.5, 10.0), 16: (4.5, 6.5)}  # (min, mean)
+    for K, (min_floor, mean_floor) in floors.items():
+        marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(77), n,
+                                              count=K))
+        batch = jnp.asarray(np.broadcast_to(cat_image, (K,) + cat_image.shape))
+        marked = np.asarray(wm.embed(batch, jnp.asarray(marks[:, None, :]),
+                                     wcfg))
+        colluded = np.round(
+            marked.astype(np.float64).mean(axis=0)).astype(np.uint8)
+        ext = np.asarray(wm.extract(jnp.asarray(cat_image),
+                                    jnp.asarray(colluded), n, rcfg))
+        sims = ext @ marks.T / np.sqrt(ext @ ext)
+        assert sims.min() > min_floor, (K, sims)
+        assert sims.mean() > mean_floor, (K, sims)
+
+    mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(5), n))
+    marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark),
+                                 wcfg))
+    buf = io.BytesIO()
+    Image.fromarray(marked).save(buf, format="JPEG", quality=20)
+    buf.seek(0)
+    attacked = np.asarray(Image.open(buf).convert("RGB"))
+    ext = np.asarray(wm.extract(jnp.asarray(cat_image), jnp.asarray(attacked),
+                                n, rcfg))
+    sim = float(ext @ mark / np.sqrt(ext @ ext))
+    assert sim > 20.0, sim
+
+
 def test_collusion_averaging_attack(cat_image):
     # The classic collusion attack from the Cox paper (section VI-D): K
     # parties each receive the same image watermarked with their own mark

@@ -45,3 +45,12 @@ def test_run_bench_smoke():
                     precision="high", quiet=True)
     assert res["embed_extract_images_per_sec"] > 0
     assert np.isfinite(res["embed_ms_per_image"])
+
+
+def test_latency_bench_smoke():
+    from spread_spectrum_watermarking_tpu.bench import run_latency_bench
+
+    res = run_latency_bench(size="64x96", length=50, iters=2)
+    assert res["embed_latency_ms"] > 0
+    assert res["extract_latency_ms"] > 0
+    assert res["precision"] == "default"
