@@ -68,10 +68,16 @@ def _timed_scan(step_fn, carry, iters: int) -> float:
 
 def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
               iters: int = 10, precision: str = "high",
-              quiet: bool = False, profile_dir: str | None = None) -> dict:
+              quiet: bool = False, profile_dir: str | None = None,
+              content: str = "noise") -> dict:
     """Measure embed/extract throughput; optionally write a ``jax.profiler``
     trace (viewable in TensorBoard/XProf -- the pipeline stages carry
-    ``ssw.forward`` / ``ssw.rank`` / ``ssw.inverse`` annotations)."""
+    ``ssw.forward`` / ``ssw.rank`` / ``ssw.inverse`` annotations).
+
+    ``content`` selects the input statistics: ``"noise"`` (uniform u8 -- the
+    historical headline content) or ``"natural"`` (cat-photo mosaic crops via
+    :func:`natural_corpus_chunk`). Throughput must be content-invariant on
+    TPU; the round-5 A/B measuring that is recorded in README."""
     import contextlib
 
     import jax
@@ -88,7 +94,11 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
     rcfg = ReadConfig(precision=prec)
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8))
+    if content == "natural":
+        images = jnp.asarray(natural_corpus_chunk(batch, h, w, rng))
+    else:
+        images = jnp.asarray(
+            rng.integers(0, 256, (batch, h, w, 3), dtype=np.uint8))
     marks = jnp.asarray(
         rng.standard_normal((batch, 1, length)).astype(np.float32))
 
@@ -133,6 +143,7 @@ def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
         "batch": batch,
         "length": length,
         "precision": prec.value,
+        "content": content,
         "embed_images_per_sec": embeds_per_sec,
         "extract_images_per_sec": extracts_per_sec,
         "embed_extract_images_per_sec": combined_per_sec,

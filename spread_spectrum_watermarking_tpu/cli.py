@@ -345,7 +345,8 @@ def cmd_bench(args) -> int:
 
     if args.config == "throughput":
         run_bench(batch=args.batch, size=args.size, length=args.length,
-                  iters=args.iters, profile_dir=args.profile_dir)
+                  iters=args.iters, profile_dir=args.profile_dir,
+                  content=args.content)
     elif args.config == "latency":
         # Batch-1 single-stream latency (device-side).
         res = run_latency_bench(size=args.size, length=args.length,
@@ -447,6 +448,10 @@ def main(argv=None) -> int:
                               "similarity matmul only.")
     p_bench.add_argument("--corpus-images", type=int, default=1024)
     p_bench.add_argument("--sweep-marks", type=int, default=10000)
+    p_bench.add_argument("--content", default="noise",
+                         choices=["noise", "natural"],
+                         help="Input statistics for the throughput config: "
+                              "uniform noise or natural-image mosaic crops.")
 
     args = parser.parse_args(argv)
     if args.command == "watermark":
