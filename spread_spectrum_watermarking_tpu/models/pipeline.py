@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Method, Precision, ReadConfig, WriteConfig, jax_precision
-from ..ops import colorspace, dct, fused_dct, modulation, ranking
+from ..ops import colorspace, dct, modulation, ranking
 
 
 def _to_f32(rgb: jax.Array) -> jax.Array:
@@ -122,16 +122,23 @@ def _shorter_axis(h: int, w: int) -> int:
     return -2 if h <= w else -1
 
 
-def _half_pass(rgb: jax.Array, precision, ax: int,
-               allow_fused: bool) -> jax.Array:
-    """Luma + one DCT-II pass along ``ax``, dispatched to the fused Pallas
-    kernel on TPU when eligible (:func:`..ops.fused_dct.supported`), else the
-    XLA formulation. At DEFAULT precision the XLA pass runs as a single bf16
-    dot on a bf16 luma plane (bf16 T storage); at HIGH as XLA's 3-pass bf16
-    decomposition of the f32 luma. ``ax`` is always the shorter image axis
-    (:func:`_shorter_axis`), which is also the axis the kernel contracts."""
-    if allow_fused and fused_dct.supported(rgb.shape, rgb.dtype, precision):
-        return fused_dct.luma_pass(rgb, precision, out_dtype=jnp.bfloat16)
+def _half_pass(rgb: jax.Array, precision, ax: int) -> jax.Array:
+    """Luma + one DCT-II pass along ``ax``. At DEFAULT precision the pass
+    runs as a single bf16 dot on a bf16 luma plane (bf16 T storage); at HIGH
+    as XLA's 3-pass bf16 decomposition of the f32 luma. ``ax`` is always the
+    shorter image axis (:func:`_shorter_axis`).
+
+    Formulation history (keep-what-wins): a fused Pallas prologue kernel
+    (resident-basis integer-luma + DCT, VMEM-resident basis) dispatched here
+    for 4K-class contractions through round 4 on the strength of an isolated
+    A/B. The round-5 k=5 interleaved IN-CONTEXT A/B at 4K DEFAULT measured
+    it parity-or-worse: combined 371.3 (kernel) vs 371.9 (XLA) img/s, with
+    the embed context clearly preferring XLA (1227 vs 1264 us/img) and the
+    extract context the kernel (1422 vs 1463) -- and per-path dispatch is
+    impossible because Writer and Reader must rank through the SAME plane
+    (near-tie rank agreement). Deleted per the rule that removed the other
+    kernels; code and numbers live in git history. XLA won everywhere.
+    """
     y = colorspace.rgb_to_luma(_to_f32(rgb))
     if precision is Precision.DEFAULT:
         return dct.dct2_pass(y.astype(jnp.bfloat16), axis=ax,
@@ -182,7 +189,7 @@ def _rank_and_values_fast(
     """
     h, w = rgb.shape[-3], rgb.shape[-2]
     ax = _shorter_axis(h, w)
-    t = _half_pass(rgb, precision, ax, custom_metric is None)
+    t = _half_pass(rgb, precision, ax)
     return _rank_from_half(t, n, ordering, custom_metric, ax, rank_version)
 
 
@@ -637,7 +644,7 @@ def rank_plane(
     else:
         h, w = rgb.shape[-3], rgb.shape[-2]
         ax = _shorter_axis(h, w)
-        out = _second_pass(_half_pass(rgb, precision, ax, True),
+        out = _second_pass(_half_pass(rgb, precision, ax),
                            ax).astype(jnp.float32)
     return out[0] if single_image else out
 

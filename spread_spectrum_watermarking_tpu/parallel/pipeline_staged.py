@@ -61,12 +61,11 @@ def make_stage_mesh(n_stages: int = N_STAGES, devices=None) -> Mesh:
 
 def _stage0(mb_u8, config: WriteConfig):
     """u8 (B, H, W, 3) -> first-pass plane, matching _rank_and_values_fast's
-    prologue axis choice AND its fused-kernel gate (custom orderings take
-    the XLA path there, so they must here too -- bit-identity contract)."""
+    prologue axis choice (bit-identity contract: the stage runs the same
+    code the fast path does)."""
     h, w = mb_u8.shape[-3], mb_u8.shape[-2]
     ax = pipeline._shorter_axis(h, w)
-    return pipeline._half_pass(mb_u8, config.precision, ax,
-                               config.custom_ordering is None)
+    return pipeline._half_pass(mb_u8, config.precision, ax)
 
 
 def _stage1(t, marks, config: WriteConfig, h: int, w: int):
