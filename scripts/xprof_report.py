@@ -29,10 +29,11 @@ def main():
     if isinstance(data, bytes):
         data = data.decode()
     obj = json.loads(data)
-    # hlo_stats: first row is the header; find the column indices.
-    rows = obj[0]["rows"] if isinstance(obj, list) else obj["rows"]
-    header = [c.strip() for c in (obj[0]["cols"] if isinstance(obj, list)
-                                  else obj["cols"])]
+    # gviz DataTable: cols are {"id"/"label"/...} dicts, rows are {"c": [...]}.
+    tbl = obj[0] if isinstance(obj, list) else obj
+    rows = tbl["rows"]
+    header = [(c.get("label") or c.get("id") or "") if isinstance(c, dict)
+              else str(c) for c in tbl["cols"]]
 
     def col(name_frag):
         for i, h in enumerate(header):
