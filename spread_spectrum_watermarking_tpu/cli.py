@@ -346,37 +346,40 @@ def cmd_bench(args) -> int:
     if args.config == "throughput":
         run_bench(batch=args.batch, size=args.size, length=args.length,
                   iters=args.iters, profile_dir=args.profile_dir,
-                  content=args.content)
+                  content=args.content, precision=args.precision)
     elif args.config == "latency":
         # Batch-1 single-stream latency (device-side).
         res = run_latency_bench(size=args.size, length=args.length,
-                                iters=args.iters)
+                                iters=args.iters, precision=args.precision)
         print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in res.items()}))
     elif args.config == "extract-cached":
         # Reader-cached detection service: fixed originals, streamed derived.
         res = run_cached_extract_bench(batch=args.batch, size=args.size,
-                                       length=args.length, iters=args.iters)
+                                       length=args.length, iters=args.iters,
+                                       precision=args.precision)
         print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in res.items()}))
     elif args.config == "embed-verified":
         # Fused mark-then-confirm round trip (one program).
         res = run_verified_bench(batch=args.batch, size=args.size,
-                                 length=args.length, iters=args.iters)
+                                 length=args.length, iters=args.iters,
+                                 precision=args.precision)
         print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in res.items()}))
     elif args.config == "corpus":
         # BASELINE config 4: 1024-image corpus + 10k-watermark sweep.
         res = run_corpus_bench(n_images=args.corpus_images, chunk=args.batch,
                                size=args.size, length=args.length,
-                               n_marks=args.sweep_marks)
+                               n_marks=args.sweep_marks,
+                               precision=args.precision)
         print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in res.items()}))
     elif args.config == "corpus-sharded":
         # BASELINE config 5: corpus over a joint (data, spatial) mesh.
         res = run_corpus_sharded_bench(
             n_images=args.corpus_images, chunk=args.batch, size=args.size,
-            length=args.length)
+            length=args.length, precision=args.precision)
         print(_json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                            for k, v in res.items()}))
     elif args.config == "sweep":
@@ -430,6 +433,11 @@ def main(argv=None) -> int:
                               "(idempotent re-run after a failure).")
 
     p_bench = sub.add_parser("bench", help="Throughput benchmark.")
+    p_bench.add_argument("--precision", choices=_PRECISION_CHOICES,
+                         default="default",
+                         help="Transform precision tier for the measured "
+                              "pipelines (default: the production tier, "
+                              "matching README's tables).")
     p_bench.add_argument("--batch", type=int, default=32)
     p_bench.add_argument("--size", default="1080p",
                          help="HxW (e.g. 1080x1920) or 1080p/4k/cat")
