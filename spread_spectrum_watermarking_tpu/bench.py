@@ -40,10 +40,21 @@ def parse_size(size: str) -> Tuple[int, int]:
 
 
 def _timed_scan(step_fn, carry, iters: int) -> float:
-    """Time ``iters`` chained executions of step_fn inside one XLA program.
+    """Time chained executions of step_fn inside one XLA program.
 
     ``step_fn(carry) -> carry`` must thread a data dependency through the
-    carry. Returns seconds per iteration.
+    carry, which makes async-dispatch / result-caching inflation impossible
+    (each iteration provably executed before the fetched scalar arrives).
+
+    Returns seconds per iteration as the SLOPE between two scan lengths,
+    ``(t(iters) - t(iters//8)) / (iters - iters//8)``: a single timing also
+    contains the fixed dispatch + scalar-fetch round trip -- ~30 ms through
+    the remote-TPU tunnel this harness usually runs over -- which the slope
+    cancels exactly. Round-5 measured that fixed cost inflating a batch-1
+    1080p latency from its true 0.4 ms to an apparent 0.9 ms and even the
+    batch-48 headline by ~3%; the length sweep 10/50/200/400 on the
+    similarity sweep (3477/1445/940/856 us apparent for a 772 us slope) is
+    the recorded evidence.
     """
     import jax
     import jax.numpy as jnp
@@ -60,10 +71,17 @@ def _timed_scan(step_fn, carry, iters: int) -> float:
         leaf = jax.tree_util.tree_leaves(c)[0]
         return float(jnp.sum(leaf[..., 0].astype(jnp.float32)))
 
-    fetch(loop(carry, iters))  # compile + warm
-    t0 = time.perf_counter()
-    fetch(loop(carry, iters))
-    return (time.perf_counter() - t0) / iters
+    iters = max(iters, 2)
+    n_short = max(1, iters // 8)
+
+    def timed(n):
+        fetch(loop(carry, n))  # compile + warm
+        t0 = time.perf_counter()
+        fetch(loop(carry, n))
+        return time.perf_counter() - t0
+
+    t_short, t_long = timed(n_short), timed(iters)
+    return max((t_long - t_short) / (iters - n_short), 1e-12)
 
 
 def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
@@ -278,22 +296,14 @@ def run_similarity_sweep_bench(n_extracted: int = 1024, n_marks: int = 10000,
                                length: int = 1000, iters: int = 400) -> dict:
     """The 10k-watermark similarity sweep (BASELINE.json config 4): one matmul.
 
-    The sweep is a sub-millisecond program, so the fixed dispatch + scalar
-    fetch round trip (~30 ms through the remote-TPU tunnel) would dominate a
-    single chained-scan timing: at scan length 10 the apparent cost is 3.5
-    ms/iter when the true cost is 0.77 ms (round-5 length sweep
-    10/50/200/400). The harness therefore times the scan at TWO lengths and
-    reports the slope ``(t_long - t_short)/(n_long - n_short)``, which
-    cancels the fixed overhead exactly; async-dispatch inflation is still
-    impossible because every iteration chains through the carry. (A naive
-    dispatch loop 'measures' 0.03 ms/call here -- above the chip's
-    arithmetic peak, i.e. provably never executed -- which is why none of
-    the numbers in this module are timed that way.)
+    The sweep is a sub-millisecond program -- exactly the case
+    :func:`_timed_scan`'s slope methodology exists for (a single timing is
+    dominated by the ~30 ms tunnel round trip: this config's round-5 length
+    sweep 10/50/200/400 measured 3477/1445/940/856 us apparent per-iter for
+    a 772 us true slope). A naive dispatch loop 'measures' 0.03 ms/call here
+    -- above the chip's arithmetic peak, i.e. provably never executed --
+    which is why none of the numbers in this module are timed that way.
     """
-    import functools
-    import time as _time
-
-    import jax
     import jax.numpy as jnp
 
     from .ops import modulation
@@ -306,24 +316,7 @@ def run_similarity_sweep_bench(n_extracted: int = 1024, n_marks: int = 10000,
         sims = modulation.similarity(e, marks)
         return e + sims[0, 0] * 1e-30
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(c, n):
-        def body(c, _):
-            return step(c), None
-        c, _ = jax.lax.scan(body, c, None, length=n)
-        return c
-
-    iters = max(iters, 2)
-    n_short = max(1, iters // 8)
-
-    def timed(n):
-        jax.block_until_ready(loop(ext, n))  # compile + warm
-        t0 = _time.perf_counter()
-        jax.block_until_ready(loop(ext, n))
-        return _time.perf_counter() - t0
-
-    t_short, t_long = timed(n_short), timed(iters)
-    t = max((t_long - t_short) / (iters - n_short), 1e-9)
+    t = _timed_scan(step, ext, iters)
     return {"similarity_pairs_per_sec": n_extracted * n_marks / t, "seconds": t}
 
 
