@@ -64,12 +64,12 @@ def phase_stable():
         return {"img_per_s": r["cached_extract_images_per_sec"]}
 
     def latency1080():
-        r = run_latency_bench(size="1080p", iters=64)
+        r = run_latency_bench(size="1080p", iters=256)
         return {"embed_ms": r["embed_latency_ms"],
                 "extract_ms": r["extract_latency_ms"]}
 
     def latencycat():
-        r = run_latency_bench(size="cat", iters=64)
+        r = run_latency_bench(size="cat", iters=256)
         return {"embed_ms": r["embed_latency_ms"],
                 "extract_ms": r["extract_latency_ms"]}
 
