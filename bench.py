@@ -11,9 +11,9 @@ sides -- a bit-identical reuse (a Reader re-deriving them from the same base
 at the same tier produces the same values;
 tests/test_pipeline.py::test_embed_verified_matches_separate_calls pins the
 equivalence against separate embed()+extract() calls). Round-5 measured the
-fused program at 3150 img/s vs 2175 for the separate-programs loop on the
-same chip in the same session; the separate-programs numbers remain in
-README's table.
+fused program at 3262 img/s vs 2334 for the separate-programs loop on the
+same chip in the same session (slope-timed -- see _timed_scan); the
+separate-programs numbers remain in README's table.
 """
 
 import json
