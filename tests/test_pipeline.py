@@ -411,3 +411,20 @@ def test_partial_length_extraction(cat_image, precision):
         sim = float(ext @ mark[:m] / np.sqrt(ext @ ext))
         # sqrt(m/N) scaling with generous slack for the short-sum variance.
         assert sim > 0.6 * 31.0 * (m / N) ** 0.5, (m, sim)
+
+
+def test_readme_quickstart_flow():
+    # The README's Quick start snippet, at test scale: the four-line batched
+    # API (generate_normal -> embed -> extract -> similarity sweep) must
+    # work exactly as documented, with per-image marks and a (B, B) sweep.
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.integers(0, 256, (3, 64, 96, 3), dtype=np.uint8))
+    marks = wm.generate_normal(jax.random.PRNGKey(0), 200,
+                               count=images.shape[0])
+    marked = wm.embed(images, marks[:, None, :])
+    extracted = wm.extract(images, marked, 200)
+    sims = np.asarray(wm.similarity(extracted, marks))
+    assert sims.shape == (3, 3)
+    assert np.diagonal(sims).min() > 6.0
+    off = sims[~np.eye(3, dtype=bool)]
+    assert np.abs(off).max() < 3.0
