@@ -167,6 +167,38 @@ def test_collusion_scaling_and_q20(cat_image, precision):
     assert sim > 20.0, sim
 
 
+def test_attack_rotation(embedded2):
+    # Geometric attack the reference never measured. Full-frame DCT
+    # watermarks have no rotation invariance (the Cox paper's known
+    # synchronization weakness): unregistered rotation degrades fast --
+    # measured 25.6 / 17.5 / 9.1 sigma at 0.25/0.5/1 degree, below the 6
+    # sigma threshold past ~1.5 degrees (1.7 sigma at 3 degrees -- the
+    # honest negative, pinned). But the attack is undone by registration:
+    # rotating back before extraction restores 28.5-30.8 sigma at every
+    # angle up to 5 degrees, because only the interpolation loss remains.
+    from PIL import Image
+
+    cat, mark, marked = embedded2
+
+    def attacked(deg, register):
+        im = Image.fromarray(marked).rotate(deg, resample=Image.BICUBIC)
+        if register:
+            im = im.rotate(-deg, resample=Image.BICUBIC)
+        arr = np.asarray(im)
+        # fill the border wedges from the original so the grid lines up
+        out = arr.copy()
+        mask = arr.sum(axis=2) == 0
+        out[mask] = cat[mask]
+        return out
+
+    assert _sim(cat, attacked(1.0, register=True), mark) > 28.0
+    assert _sim(cat, attacked(5.0, register=True), mark) > 26.0
+    assert _sim(cat, attacked(0.5, register=False), mark) > 14.0
+    assert _sim(cat, attacked(1.0, register=False), mark) > 7.0
+    # the synchronization weakness itself, honestly pinned:
+    assert _sim(cat, attacked(3.0, register=False), mark) < 3.0
+
+
 def test_collusion_averaging_attack(cat_image):
     # The classic collusion attack from the Cox paper (section VI-D): K
     # parties each receive the same image watermarked with their own mark
