@@ -385,8 +385,10 @@ def cmd_bench(args) -> int:
     elif args.config == "sweep":
         res = run_similarity_sweep_bench(n_extracted=args.corpus_images,
                                          n_marks=args.sweep_marks,
-                                         length=args.length, iters=args.iters)
-        print(_json.dumps({k: round(v, 6) for k, v in res.items()}))
+                                         length=args.length, iters=args.iters,
+                                         precision=args.precision)
+        print(_json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                           for k, v in res.items()}))
     return 0
 
 

@@ -89,3 +89,21 @@ def test_exceeds_sigma_is_strict_greater():
     sim = jnp.asarray([5.999, 6.0, 6.001])
     got = np.asarray(modulation.exceeds_sigma(sim, 6.0))
     np.testing.assert_array_equal(got, [False, False, True])
+
+
+def test_similarity_fast_precisions_preserve_detection():
+    # The sweep's precision knob (ops/modulation.similarity) trades matmul
+    # exactness for MXU rate on large database screens. The perturbation of
+    # the sigma statistic must stay far below any detection threshold:
+    # measured on TPU, HIGH 7e-5 sigma and DEFAULT 1.4e-2 sigma max error
+    # for a 1024x10k sweep; pinned here (CPU bf16 emulation) with margin.
+    import jax
+
+    rng = np.random.default_rng(3)
+    ext = jnp.asarray(rng.standard_normal((64, 1000)).astype(np.float32))
+    marks = jnp.asarray(rng.standard_normal((256, 1000)).astype(np.float32))
+    hi = np.asarray(modulation.similarity(ext, marks))
+    for prec, bound in ((jax.lax.Precision.HIGH, 1e-3),
+                        (jax.lax.Precision.DEFAULT, 5e-2)):
+        lo = np.asarray(modulation.similarity(ext, marks, precision=prec))
+        assert np.abs(lo - hi).max() < bound, prec
