@@ -199,6 +199,27 @@ def test_attack_rotation(embedded2):
     assert _sim(cat, attacked(3.0, register=False), mark) < 3.0
 
 
+def test_attack_translation(embedded2):
+    # The other classic desynchronization: pixel shift. Measured 23.0 /
+    # 14.6 / 7.4 sigma unregistered at 1/2/4 px -- the low-frequency
+    # coefficients that carry the mark barely change phase under small
+    # shifts, so detection survives where naive intuition says it dies --
+    # and re-registration is lossless (31.4-31.8 sigma at every shift).
+    cat, mark, marked = embedded2
+
+    def shifted(dx, register):
+        att = np.roll(marked, dx, axis=1)
+        att[:, :dx] = cat[:, :dx]
+        if register:
+            att = np.roll(att, -dx, axis=1)
+            att[:, -dx:] = cat[:, -dx:]
+        return att
+
+    assert _sim(cat, shifted(1, register=False), mark) > 20.0
+    assert _sim(cat, shifted(4, register=False), mark) > 6.0
+    assert _sim(cat, shifted(4, register=True), mark) > 30.0
+
+
 def test_collusion_averaging_attack(cat_image):
     # The classic collusion attack from the Cox paper (section VI-D): K
     # parties each receive the same image watermarked with their own mark
