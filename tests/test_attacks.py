@@ -154,6 +154,19 @@ def test_collusion_scaling_and_q20(cat_image, precision):
         assert sims.min() > min_floor, (K, sims)
         assert sims.mean() > mean_floor, (K, sims)
 
+    # Doubling N restores the K=16 margin by the predicted sqrt(2):
+    # measured min 9.58 / mean 10.46 at N=2000 (vs 5.9 / 7.5 at N=1000).
+    marks = np.asarray(wm.generate_normal(jax.random.PRNGKey(77), 2 * n,
+                                          count=16))
+    batch = jnp.asarray(np.broadcast_to(cat_image, (16,) + cat_image.shape))
+    marked = np.asarray(wm.embed(batch, jnp.asarray(marks[:, None, :]), wcfg))
+    colluded = np.round(
+        marked.astype(np.float64).mean(axis=0)).astype(np.uint8)
+    ext = np.asarray(wm.extract(jnp.asarray(cat_image),
+                                jnp.asarray(colluded), 2 * n, rcfg))
+    sims = ext @ marks.T / np.sqrt(ext @ ext)
+    assert sims.min() > 8.0, sims
+
     mark = np.asarray(wm.generate_normal(jax.random.PRNGKey(5), n))
     marked = np.asarray(wm.embed(jnp.asarray(cat_image), jnp.asarray(mark),
                                  wcfg))
