@@ -9,9 +9,12 @@ next to the Python shims. The framework works without either (pure-Python /
 PIL fallbacks).
 
 The two extensions build in SEPARATE setup() invocations: the codec needs
-libjpeg/libpng headers, and a failure there must not abort the RNG build
+libjpeg/libpng headers, and their absence must not abort the RNG build
 (ADVICE r4: one combined invocation made the stated "RNG still builds
-without libjpeg/libpng" goal false).
+without libjpeg/libpng" goal false). The codec build is gated on a
+preprocessor probe for the headers rather than a blanket try/except, so a
+genuine compile regression with headers present still fails the build
+loudly instead of silently shipping the slower PIL fallback.
 """
 
 import os
@@ -35,7 +38,25 @@ setup(
     script_args=script_args,
 )
 
-try:
+def _codec_headers_available() -> bool:
+    """Preprocess a probe including jpeglib.h/png.h with the system C++
+    compiler. Distinguishes 'dev headers absent: skip the optional codec'
+    from 'headers present but the codec fails to build: a real regression
+    that must fail the build loudly'."""
+    import subprocess
+
+    probe = b"#include <stdio.h>\n#include <jpeglib.h>\n#include <png.h>\n"
+    for cc in ("c++", "g++", "cc"):
+        try:
+            r = subprocess.run([cc, "-E", "-x", "c++", "-"], input=probe,
+                               capture_output=True)
+        except FileNotFoundError:
+            continue
+        return r.returncode == 0
+    return False  # no compiler found -- the build will fail upstream anyway
+
+
+if _codec_headers_available():
     setup(
         name="ssw-codec",
         ext_modules=[
@@ -49,6 +70,6 @@ try:
         ],
         script_args=script_args,
     )
-except (Exception, SystemExit) as e:  # noqa: BLE001 -- codec is optional
-    print(f"NOTE: optional codec extension skipped (libjpeg/libpng dev "
-          f"environment?): {e!r}", file=sys.stderr)
+else:
+    print("NOTE: optional codec extension skipped: libjpeg/libpng dev "
+          "headers not found (PIL fallback will be used)", file=sys.stderr)

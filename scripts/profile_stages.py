@@ -14,8 +14,7 @@ sys.path.insert(0, "/root/repo")
 from spread_spectrum_watermarking_tpu.config import (Precision, ReadConfig,
                                                      WriteConfig)
 from spread_spectrum_watermarking_tpu.models import pipeline
-from spread_spectrum_watermarking_tpu.ops import (colorspace, dct, modulation,
-                                                  ranking)
+from spread_spectrum_watermarking_tpu.ops import colorspace, dct, ranking
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 H, W = 1080, 1920
@@ -97,7 +96,11 @@ def main():
 
     def topk_step(r):
         idx, vals = ranking.approx_top_indices(r, N, wcfg.ordering)
-        return r * (1 + idx[0, 0].astype(r.dtype) * jnp.bfloat16(1e-30))
+        # depend on BOTH outputs or XLA DCEs the value reconstruction
+        # (the approx_max_k DCE trap -- see _timed_scan's methodology)
+        dep = (idx[0, 0].astype(r.dtype)
+               + vals[0, 0].astype(r.dtype)) * jnp.bfloat16(1e-30)
+        return r * (1 + dep)
     report("approx rank + gather vals", timed_scan(topk_step, rank_plane))
 
     idx0, vals0 = jax.jit(lambda r: ranking.approx_top_indices(

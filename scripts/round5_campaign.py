@@ -6,7 +6,7 @@ slow drift hits all configs equally), in one process on the live chip. The
 Pallas phase additionally A/Bs the one surviving kernel in context, k=5 per
 arm, cache-cleared between arms (dispatch is a trace-time flag).
 
-Usage: python scripts/round5_campaign.py [stable|fourk|pallas|corpus|sweep|all]
+Usage: python scripts/round5_campaign.py [stable|fourk|corpus|sweep|all]
 Appends one JSON line per measurement to scripts/round5_results.jsonl.
 """
 
@@ -96,28 +96,11 @@ def phase_fourk():
                   "combined": r["embed_extract_images_per_sec"]})
 
 
-def phase_pallas():
-    """In-context A/B of the resident prologue at 4K DEFAULT: kernel vs XLA,
-    k=5 per arm, interleaved, cache-cleared at every switch (keep-what-wins
-    rule, round-4 VERDICT weak item 2)."""
-    import jax
-
-    from spread_spectrum_watermarking_tpu.bench import run_bench
-    from spread_spectrum_watermarking_tpu.ops import fused_dct
-
-    for rep in range(5):
-        for arm in ("kernel", "xla"):
-            fused_dct.ENABLE_PROLOGUE = arm == "kernel"
-            jax.clear_caches()
-            r = run_bench(batch=8, size="4k", iters=16, precision="default",
-                          quiet=True)
-            emit({"phase": "pallas", "config": f"4k-default-{arm}",
-                  "rep": rep,
-                  "embed_us_img": 1e3 * r["embed_ms_per_image"],
-                  "extract_us_img": 1e3 * r["extract_ms_per_image"],
-                  "combined": r["embed_extract_images_per_sec"]})
-    fused_dct.ENABLE_PROLOGUE = True
-    jax.clear_caches()
+# HISTORICAL: a phase_pallas lived here that A/B'd the resident prologue
+# kernel (k=5 interleaved, cache-cleared arms). It decided the kernel's
+# deletion (commit b5b6c44) and cannot run anymore -- ops/fused_dct.py is
+# gone. Its raw data is scripts/round5_results_preslope.jsonl (phase
+# "pallas"); the verdict is README's Pallas paragraph.
 
 
 def phase_corpus():
@@ -147,7 +130,7 @@ def phase_sweep():
 
 
 PHASES = {"stable": phase_stable, "fourk": phase_fourk,
-          "pallas": phase_pallas, "corpus": phase_corpus,
+          "corpus": phase_corpus,
           "sweep": phase_sweep}
 
 

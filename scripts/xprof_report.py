@@ -35,16 +35,21 @@ def main():
     header = [(c.get("label") or c.get("id") or "") if isinstance(c, dict)
               else str(c) for c in tbl["cols"]]
 
-    def col(name_frag):
-        for i, h in enumerate(header):
-            if name_frag.lower() in str(h).lower():
-                return i
+    def col(*name_frags):
+        """First column index whose label contains any fragment (in
+        fragment priority order); None-safe -- index 0 is a valid hit."""
+        for frag in name_frags:
+            for i, h in enumerate(header):
+                if frag.lower() in str(h).lower():
+                    return i
         return None
 
     i_cat = col("category")
-    i_expr = col("expression") or col("name")
-    i_time = col("total time") or col("self time") or col("time (us)")
+    i_expr = col("expression", "name")
+    i_time = col("total time", "self time", "time (us)")
     i_occ = col("occurrences")
+    if i_expr is None or i_time is None:
+        sys.exit(f"unrecognized hlo_stats schema: {header}")
     items = []
     for r in rows:
         c = r["c"] if isinstance(r, dict) else r

@@ -95,7 +95,14 @@ def _timed_scan(step_fn, carry, iters: int) -> float:
         n_short, t_short = iters, t_long
         iters *= 4
         t_long = timed(iters)
-    return max((t_long - t_short) / (iters - n_short), 1e-12)
+    slope = (t_long - t_short) / (iters - n_short)
+    if slope <= 0.0:
+        # Refuse to fabricate: even 65536 chained iterations stayed inside
+        # the timing jitter, so no honest per-iteration number exists.
+        raise RuntimeError(
+            f"step too fast to slope-time: {iters} iterations added only "
+            f"{1e3 * (t_long - t_short):.2f} ms over {n_short}")
+    return slope
 
 
 def run_bench(batch: int = 32, size: str = "1080p", length: int = 1000,
@@ -454,25 +461,35 @@ def run_corpus_bench(n_images: int = 1024, chunk: int = 64, size: str = "1080p",
     t0 = time.perf_counter()
     best_is_own = 0
     own_sims = []
-    # Dispatch every chunk before fetching any result: JAX dispatch is
-    # async, so the device runs chunks back to back while the (chunk,
-    # n_marks) similarity matrices stream to the host behind it. The
+    # Overlap dispatch with the result stream: JAX dispatch is async, so
+    # chunks run back to back on the device while earlier chunks' (chunk,
+    # n_marks) similarity matrices stream to the host behind them. The
     # per-chunk synchronous fetch this replaces serialized a full
-    # host<->device round trip into every chunk (measured 501 -> see README
-    # for the overlapped number; the work and the fetched bytes are
-    # identical -- all n_images embedded, extracted, swept, all sims on the
-    # host when the clock stops).
-    pending = []
-    for i in range(n_chunks):
-        offset = (i * chunk) % (n_marks - chunk)
-        pending.append((offset, process(base_chunk, jnp.int32(37 * i),
-                                        marks_db[offset:offset + chunk])))
-    for offset, sims_dev in pending:
+    # host<->device round trip into every chunk (measured 501 -> 622 img/s,
+    # README; the work and the fetched bytes are identical -- all n_images
+    # embedded, extracted, swept, all sims on the host when the clock
+    # stops). The in-flight window is bounded so device memory stays
+    # constant at any corpus size (each pending result is chunk x n_marks
+    # f32, ~2.5 MB at the default config).
+    window = 16
+
+    def consume(offset, sims_dev):
+        nonlocal best_is_own
         sims = np.asarray(sims_dev)  # fetch: (chunk, n_marks)
         own = sims[np.arange(chunk), offset + np.arange(chunk)]
         own_sims.append(own)
         best_is_own += int(
             (sims.argmax(axis=1) == offset + np.arange(chunk)).sum())
+
+    pending = []
+    for i in range(n_chunks):
+        offset = (i * chunk) % (n_marks - chunk)
+        pending.append((offset, process(base_chunk, jnp.int32(37 * i),
+                                        marks_db[offset:offset + chunk])))
+        if len(pending) > window:
+            consume(*pending.pop(0))
+    for item in pending:
+        consume(*item)
     dt = time.perf_counter() - t0
 
     own_all = np.concatenate(own_sims)

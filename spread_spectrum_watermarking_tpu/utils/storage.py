@@ -74,6 +74,17 @@ _JSON_TO_PRECISION = {
 # before the window is generation 1) and will extract with the wrong rank
 # order; re-read them with the explicit override ``ssw-tpu test
 # --rank-version 2`` (which bypasses this table's generation mapping).
+#
+# MIGRATION NOTE (deleted 4K Pallas prologue, commit b5b6c44): fast-tier
+# marks embedded ON TPU at 4K-class sizes (min(H, W) >= 2000) by the
+# rounds-3/4 builds ranked through the since-deleted kernel's metric
+# plane, whose bf16 rounding differed from the XLA plane on near-tie
+# energies. Reading such files with this build can flip a handful of
+# near-tie rank positions (similarity degrades by at most a few tenths of
+# a sigma out of ~31) -- the same magnitude of divergence those files
+# always had when read on a non-TPU backend, where the kernel never
+# dispatched. No spelling or version key distinguishes this; it is a
+# formulation change within a tier, documented here for completeness.
 
 
 def _lookup_spelling(table: dict, value, what: str):
