@@ -224,6 +224,103 @@ def cmd_test(args) -> int:
     return 0
 
 
+def cmd_detect(args) -> int:
+    """Streaming detection service: one base, many derived images.
+
+    The reference CLI's ``test`` re-derives the base reader per invocation;
+    a detection service has FIXED originals and a stream of suspect images,
+    so ``detect`` ranks the base once per (config, tier, generation, length)
+    group -- the cached path the extract-cached benchmark measures at
+    ~11.5k img/s/chip -- and then processes derived images from the command
+    line and/or stdin (one path per line), emitting one JSON line per
+    (derived image, candidate mark). Per-image failures are isolated like
+    ``batch`` (recorded, nonzero exit, stream continues).
+    """
+    import jax.numpy as jnp
+
+    from . import Reader, similarity
+
+    base = image_io.load_rgb_u8(args.base)
+    loaded = [(path, storage.load_watermark_file(path))
+              for path in args.watermark_files]
+
+    # Group marks by the full extraction key so each group shares one
+    # cached base reader and one similarity matmul per derived image.
+    groups: dict = {}
+    for path, st in loaded:
+        prec = (_PRECISION_CHOICES[args.precision]
+                if args.precision is not None
+                else st.precision or Precision.HIGHEST)
+        rank_version = (args.rank_version if args.rank_version is not None
+                        else st.rank_version)
+        for mark in st.watermarks:
+            key = (st.config, prec, rank_version, len(mark.values))
+            groups.setdefault(key, []).append((path, mark))
+
+    readers = {}
+    for (cfg, prec, rank_version, length), marks in groups.items():
+        rcfg = ReadConfig(extraction=cfg.insert_extract, ordering=cfg.ordering,
+                          precision=prec, rank_version=rank_version)
+        readers[(cfg, prec, rank_version, length)] = (
+            Reader.base(base, rcfg), rcfg,
+            np.stack([np.asarray(m.values, dtype=np.float32)
+                      for _, m in marks]))
+
+    def derived_paths():
+        for p in args.derived or []:
+            yield p
+        if args.stdin:
+            for line in sys.stdin:
+                line = line.strip()
+                if line:
+                    yield line
+
+    jsonl = _jsonl_writer(args.jsonl) or sys.stdout
+    failures = 0
+    count = 0
+    t0 = time.perf_counter()
+    for dpath in derived_paths():
+        try:
+            derived = Reader.derived(image_io.load_rgb_u8(dpath))
+        except Exception as e:  # noqa: BLE001 -- isolate per-image failures
+            failures += 1
+            json.dump({"derived": str(dpath), "error": repr(e)}, jsonl)
+            jsonl.write("\n")
+            jsonl.flush()
+            continue
+        for key, (reader, rcfg, mark_matrix) in readers.items():
+            cfg, prec, rank_version, length = key
+            ext = reader.extract(derived, length)
+            sims = np.asarray(similarity(
+                jnp.asarray(ext[None]), jnp.asarray(mark_matrix)))[0]
+            for (wpath, mark), sim in zip(groups[key], sims):
+                sim = float(sim)
+                # A derived image identical to the base extracts the zero
+                # vector; sim is 0/0 there. Emit 0.0 (no watermark energy)
+                # so the JSONL stays machine-parseable (strict JSON has no
+                # NaN) and "matches" stays false.
+                if sim != sim:
+                    sim = 0.0
+                json.dump({
+                    "derived": str(dpath),
+                    "watermark_file": str(wpath),
+                    "description": mark.description,
+                    "length": length,
+                    "similarity": sim,
+                    "match_exceed": args.similarity_exceed,
+                    "matches": bool(sim > args.similarity_exceed),
+                }, jsonl)
+                jsonl.write("\n")
+        jsonl.flush()
+        count += 1
+    dt = time.perf_counter() - t0
+    print(f"detect: {count} images in {dt:.2f}s"
+          + (f"; {failures} FAILED" if failures else ""), file=sys.stderr)
+    if jsonl is not sys.stdout:
+        jsonl.close()
+    return 1 if failures else 0
+
+
 def cmd_batch(args) -> int:
     """Embed fresh marks into every image in a directory, batched on device.
 
@@ -422,6 +519,24 @@ def main(argv=None) -> int:
                              "for stdout).")
     _add_precision_arg(p_test, for_test=True)
 
+    p_detect = sub.add_parser(
+        "detect",
+        help="Detection service: one base image ranked once, a stream of "
+             "derived images tested against stored marks (JSONL out).")
+    p_detect.add_argument("base", help="The original file.")
+    p_detect.add_argument("watermark_files", nargs="+",
+                          help="Watermark files to test (.json or legacy .wm).")
+    p_detect.add_argument("--derived", nargs="*", default=None,
+                          help="Derived (suspect) image paths.")
+    p_detect.add_argument("--stdin", action="store_true",
+                          help="Also read derived image paths from stdin, "
+                               "one per line (streaming mode).")
+    p_detect.add_argument("--similarity-exceed", type=float, default=6.0,
+                          help="Sigma threshold considered a match (default 6).")
+    p_detect.add_argument("--jsonl", default=None,
+                          help="Write JSON lines here instead of stdout.")
+    _add_precision_arg(p_detect, for_test=True)
+
     p_batch = sub.add_parser("batch", help="Watermark a directory of images (batched).")
     p_batch.add_argument("directory")
     p_batch.add_argument("--output-dir", default=None)
@@ -468,6 +583,8 @@ def main(argv=None) -> int:
         return cmd_watermark(args)
     if args.command == "test":
         return cmd_test(args)
+    if args.command == "detect":
+        return cmd_detect(args)
     if args.command == "batch":
         return cmd_batch(args)
     if args.command == "bench":

@@ -267,3 +267,39 @@ def test_stored_precision_selects_extraction_tier(workdir, capsys):
     assert rc == 0
     obj = json.loads((workdir / "cat_wm.json").read_text())
     assert "precision" not in obj["Version1"]
+
+
+def test_detect_streaming_service(workdir, capsys, monkeypatch):
+    # The detection-service mode: one base ranked once, derived images
+    # streamed from --derived and stdin, one JSON line per (image, mark),
+    # per-image failure isolation (cli.cmd_detect; the cached read path the
+    # extract-cached benchmark measures).
+    import io
+
+    assert cli.main(["watermark", str(workdir / "cat.jpg"), "--seed", "31",
+                     "--precision", "default"]) == 0
+    (workdir / "cat2_wm.png").write_bytes((workdir / "cat_wm.png").read_bytes())
+    shutil.copy(CAT_JPG, workdir / "unmarked.jpg")
+    (workdir / "corrupt.png").write_bytes(b"junk")
+    capsys.readouterr()
+
+    jl = workdir / "detect.jsonl"
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO(f"{workdir / 'unmarked.jpg'}\n"
+                                    f"{workdir / 'corrupt.png'}\n"))
+    rc = cli.main(["detect", str(workdir / "cat.jpg"),
+                   str(workdir / "cat_wm.json"),
+                   "--derived", str(workdir / "cat_wm.png"),
+                   str(workdir / "cat2_wm.png"),
+                   "--stdin", "--jsonl", str(jl)])
+    assert rc == 1  # the corrupt image failed; the stream continued
+    rows = [json.loads(s) for s in jl.read_text().splitlines()]
+    by_derived = {}
+    for r in rows:
+        by_derived.setdefault(r["derived"].rsplit("/", 1)[-1], r)
+    assert by_derived["cat_wm.png"]["matches"] is True
+    assert by_derived["cat_wm.png"]["similarity"] > 6.0
+    assert by_derived["cat2_wm.png"]["matches"] is True  # stream reuses cache
+    assert by_derived["unmarked.jpg"]["matches"] is False
+    assert "error" in by_derived["corrupt.png"]
+    assert len(rows) == 4
