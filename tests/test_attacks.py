@@ -212,6 +212,25 @@ def test_attack_rotation(embedded2):
     assert _sim(cat, attacked(3.0, register=False), mark) < 3.0
 
 
+def test_attack_filtering(embedded2):
+    # Low-pass / nonlinear filtering attacks the reference never measured:
+    # the low-frequency carriers survive heavy filtering. Measured:
+    # gaussian blur r=0.5/1/2 -> 31.7/30.5/21.3 sigma; 3x3 median 30.9;
+    # sharpen 31.1.
+    from PIL import Image, ImageFilter
+
+    cat, mark, marked = embedded2
+    im = Image.fromarray(marked)
+    assert _sim(cat, np.asarray(
+        im.filter(ImageFilter.GaussianBlur(1.0))), mark) > 28.0
+    assert _sim(cat, np.asarray(
+        im.filter(ImageFilter.GaussianBlur(2.0))), mark) > 18.0
+    assert _sim(cat, np.asarray(
+        im.filter(ImageFilter.MedianFilter(3))), mark) > 28.0
+    assert _sim(cat, np.asarray(
+        im.filter(ImageFilter.SHARPEN)), mark) > 28.0
+
+
 def test_attack_translation(embedded2):
     # The other classic desynchronization: pixel shift. Measured 23.0 /
     # 14.6 / 7.4 sigma unregistered at 1/2/4 px -- the low-frequency
