@@ -157,6 +157,32 @@ def _jsonl_writer(path):
     return open(path, "a", encoding="utf-8")
 
 
+def _resolve_tier(st, args):
+    """Extraction tier + ranking generation for a stored watermark file:
+    the file's recorded values unless overridden by --precision /
+    --rank-version. ONE definition shared by ``test`` and ``detect`` so the
+    two subcommands can never diverge on which tier they extract at for the
+    same file."""
+    prec = (_PRECISION_CHOICES[args.precision] if args.precision is not None
+            else st.precision or Precision.HIGHEST)
+    rank_version = (args.rank_version if args.rank_version is not None
+                    else st.rank_version)
+    return prec, rank_version
+
+
+def _extraction_groups(loaded, args):
+    """Group (path, mark) pairs by full extraction key
+    (config, tier, generation, length) -- one cached extraction / base
+    reader serves each group."""
+    groups: dict = {}
+    for path, st in loaded:
+        prec, rank_version = _resolve_tier(st, args)
+        for mark in st.watermarks:
+            key = (st.config, prec, rank_version, len(mark.values))
+            groups.setdefault(key, []).append((path, mark))
+    return groups
+
+
 def cmd_test(args) -> int:
     import jax.numpy as jnp
 
@@ -178,12 +204,7 @@ def cmd_test(args) -> int:
         # (reference files record none -> HIGHEST, matching their exact rank
         # order; "Default"/"High" spellings name generation-1 fast ranking,
         # "Default2"/"High2" generation 2); --precision overrides the tier.
-        if args.precision is not None:
-            prec = _PRECISION_CHOICES[args.precision]
-        else:
-            prec = st.precision or Precision.HIGHEST
-        rank_version = (args.rank_version if args.rank_version is not None
-                        else st.rank_version)
+        prec, rank_version = _resolve_tier(st, args)
         for mark in st.watermarks:
             key = (cfg, prec, rank_version, len(mark.values))
             if key not in retrieved:
@@ -245,26 +266,20 @@ def cmd_detect(args) -> int:
               for path in args.watermark_files]
 
     # Group marks by the full extraction key so each group shares one
-    # cached base reader and one similarity matmul per derived image.
-    groups: dict = {}
-    for path, st in loaded:
-        prec = (_PRECISION_CHOICES[args.precision]
-                if args.precision is not None
-                else st.precision or Precision.HIGHEST)
-        rank_version = (args.rank_version if args.rank_version is not None
-                        else st.rank_version)
-        for mark in st.watermarks:
-            key = (st.config, prec, rank_version, len(mark.values))
-            groups.setdefault(key, []).append((path, mark))
+    # cached base reader and one similarity matmul per derived image
+    # (tier resolution shared with cmd_test via _extraction_groups).
+    groups = _extraction_groups(loaded, args)
 
     readers = {}
     for (cfg, prec, rank_version, length), marks in groups.items():
         rcfg = ReadConfig(extraction=cfg.insert_extract, ordering=cfg.ordering,
                           precision=prec, rank_version=rank_version)
+        # The mark matrix is uploaded to the device ONCE here; the streaming
+        # loop below only transfers each image's length-n extraction.
         readers[(cfg, prec, rank_version, length)] = (
-            Reader.base(base, rcfg), rcfg,
-            np.stack([np.asarray(m.values, dtype=np.float32)
-                      for _, m in marks]))
+            Reader.base(base, rcfg),
+            jnp.asarray(np.stack([np.asarray(m.values, dtype=np.float32)
+                                  for _, m in marks])))
 
     def derived_paths():
         for p in args.derived or []:
@@ -281,18 +296,26 @@ def cmd_detect(args) -> int:
     t0 = time.perf_counter()
     for dpath in derived_paths():
         try:
+            # The whole per-image pipeline sits inside the isolation
+            # boundary: decode failures AND extract-time errors (e.g. a
+            # resized suspect whose shape no longer matches the base, or a
+            # mark longer than the base's pixel count) are recorded and the
+            # stream continues.
             derived = Reader.derived(image_io.load_rgb_u8(dpath))
+            results = []
+            for key, (reader, mark_matrix) in readers.items():
+                length = key[3]
+                ext = reader.extract(derived, length)
+                sims = np.asarray(similarity(
+                    jnp.asarray(ext[None]), mark_matrix))[0]
+                results.append((key, length, sims))
         except Exception as e:  # noqa: BLE001 -- isolate per-image failures
             failures += 1
             json.dump({"derived": str(dpath), "error": repr(e)}, jsonl)
             jsonl.write("\n")
             jsonl.flush()
             continue
-        for key, (reader, rcfg, mark_matrix) in readers.items():
-            cfg, prec, rank_version, length = key
-            ext = reader.extract(derived, length)
-            sims = np.asarray(similarity(
-                jnp.asarray(ext[None]), jnp.asarray(mark_matrix)))[0]
+        for key, length, sims in results:
             for (wpath, mark), sim in zip(groups[key], sims):
                 sim = float(sim)
                 # A derived image identical to the base extracts the zero
@@ -534,7 +557,10 @@ def main(argv=None) -> int:
     p_detect.add_argument("--similarity-exceed", type=float, default=6.0,
                           help="Sigma threshold considered a match (default 6).")
     p_detect.add_argument("--jsonl", default=None,
-                          help="Write JSON lines here instead of stdout.")
+                          help="Append JSON lines here instead of stdout "
+                               "(append semantics, like test/batch: a "
+                               "scheduler retry adds to, not replaces, the "
+                               "log).")
     _add_precision_arg(p_detect, for_test=True)
 
     p_batch = sub.add_parser("batch", help="Watermark a directory of images (batched).")

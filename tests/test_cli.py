@@ -281,12 +281,18 @@ def test_detect_streaming_service(workdir, capsys, monkeypatch):
     (workdir / "cat2_wm.png").write_bytes((workdir / "cat_wm.png").read_bytes())
     shutil.copy(CAT_JPG, workdir / "unmarked.jpg")
     (workdir / "corrupt.png").write_bytes(b"junk")
+    # a resized suspect: decodes fine but its shape no longer matches the
+    # base, so the failure surfaces at EXTRACT time -- must be isolated too.
+    from PIL import Image
+    Image.open(workdir / "cat_wm.png").resize((320, 222)).save(
+        workdir / "resized.png")
     capsys.readouterr()
 
     jl = workdir / "detect.jsonl"
     monkeypatch.setattr("sys.stdin",
                         io.StringIO(f"{workdir / 'unmarked.jpg'}\n"
-                                    f"{workdir / 'corrupt.png'}\n"))
+                                    f"{workdir / 'corrupt.png'}\n"
+                                    f"{workdir / 'resized.png'}\n"))
     rc = cli.main(["detect", str(workdir / "cat.jpg"),
                    str(workdir / "cat_wm.json"),
                    "--derived", str(workdir / "cat_wm.png"),
@@ -302,4 +308,6 @@ def test_detect_streaming_service(workdir, capsys, monkeypatch):
     assert by_derived["cat2_wm.png"]["matches"] is True  # stream reuses cache
     assert by_derived["unmarked.jpg"]["matches"] is False
     assert "error" in by_derived["corrupt.png"]
-    assert len(rows) == 4
+    assert "error" in by_derived["resized.png"]  # extract-time isolation
+    assert "coefficient length" in by_derived["resized.png"]["error"]
+    assert len(rows) == 5
